@@ -1,0 +1,379 @@
+"""Settings / flag registry for the TPU-native segmentation system.
+
+Mirrors the public configuration surface of the reference
+(``SemanticSegmentationArguments``, reference utils/utils.py:7-257, plus the
+per-module ``add_*_arguments`` hooks and the ``_add_extra_args`` constants of
+train.py:42-68), re-expressed as a typed dataclass. The same object flows
+through the whole system (the reference passes a mutated argparse Namespace as
+Estimator ``params``).
+
+Derived training math (steps per epoch, LR boundary epoch->step conversion)
+follows reference system_factory.py:189-248.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any, Optional, Sequence
+
+__all__ = ["Settings", "build_argparser", "settings_from_args", "TRAIN", "EVAL", "PREDICT"]
+
+TRAIN = "train"
+EVAL = "eval"
+PREDICT = "predict"
+
+
+@dataclasses.dataclass
+class Settings:
+    """All system settings. Field groups mirror the reference flag registry."""
+
+    # -- system size (utils.py:34-48) --------------------------------------
+    height_system: Optional[int] = None
+    width_system: Optional[int] = None
+    height_feature_extractor: int = 512
+    width_feature_extractor: int = 1024
+
+    # -- mode / dirs -------------------------------------------------------
+    mode: str = TRAIN
+    log_dir: str = ""
+    per_pixel_dataset_name: str = "cityscapes"
+
+    # -- problem definitions ----------------------------------------------
+    training_problem_def_path: str = ""
+    inference_problem_def_path: Optional[str] = None
+    evaluation_problem_def_path: Optional[str] = None
+    train_void_class: bool = False
+
+    # -- training schedule (utils.py:56-119) -------------------------------
+    Ntrain: int = 2975
+    Ne: int = 17
+    Nb: int = 4
+    learning_rate_schedule: str = "piecewise_constant"  # | polynomial_decay
+    learning_rate_initial: float = 0.01
+    learning_rate_boundaries: tuple[int, ...] = (8, 15, 17)  # epochs
+    learning_rate_decay: Optional[float] = None
+    learning_rate_values: Optional[tuple[float, ...]] = None
+    learning_rate_final: float = 0.5
+    learning_rate_power: float = 0.9
+    optimizer: str = "SGDM"  # | SGD
+    momentum: float = 0.9
+    use_nesterov: bool = False
+    ema_decay: float = 0.9
+    regularization_weight: float = 0.00017
+    bootstrapping_percentage: int = -1
+    save_checkpoints_steps: Optional[int] = None
+    save_summaries_steps: int = 120
+    init_ckpt_path: str = ""
+
+    # -- mixed-supervision sub-batches (train.py:62-68) --------------------
+    Nb_per_pixel: int = 4
+    Nb_per_bbox: int = 8
+    Nb_per_image: int = 4
+    preserve_aspect_ratio_per_pixel: bool = False
+    preserve_aspect_ratio_per_bbox: bool = True
+    preserve_aspect_ratio_per_image: bool = True
+    preserve_aspect_ratio: bool = False
+
+    # -- model (resnet50_extended_model_hierarchical.py:228-269) -----------
+    name_feature_extractor: str = "resnet_v1_50"
+    stride_feature_extractor: int = 8
+    feature_dims_decreased: int = 256
+    fov_expansion_kernel_size: int = 0
+    fov_expansion_kernel_rate: int = 0
+    upsampling_method: str = "bilinear"  # no | bilinear | hybrid
+    psp_module: bool = False
+    norm_layer: str = "batch"  # | group
+    norm_train_variables: bool = True
+    batch_norm_accumulate_statistics: bool = True
+    batch_norm_decay: float = 0.9
+    cross_replica_norm: bool = False
+
+    # -- numerics / TPU ----------------------------------------------------
+    compute_dtype: str = "bfloat16"  # conv/matmul compute dtype; params stay f32
+    num_devices: Optional[int] = None  # None = all visible devices
+
+    # -- inference / evaluation (utils.py:121-178) -------------------------
+    ckpt_path: Optional[str] = None
+    eval_all_ckpts: bool = False
+    Neval: int = 500
+    replace_voids: bool = False
+    restore_emas: bool = False
+    predict_dir: str = ""
+    results_dir: Optional[str] = None
+    plotting: bool = False
+    timeout: float = 10.0
+    export_color_decisions: bool = False
+    export_lids_images: bool = False
+    predict_keys: tuple[str, ...] = (
+        "decisions",
+        "l1_probabilities",
+        "l2_vehicle_probabilities",
+        "rawimages",
+        "rawimagespaths",
+    )
+
+    # -- dataset paths -----------------------------------------------------
+    tfrecords_path: str = ""
+    tfrecords_path_per_pixel: str = ""
+    dataset_directory: str = ""
+    # OpenImages weak-label sources
+    openimages_image_dir: str = ""
+    openimages_bboxes_path: str = ""  # imageid2bboxes pickle/json
+    openimages_image_labels_path: str = ""  # imageid2mids pickle/json
+    # synthetic-data mode for benchmarking / tests without datasets on disk
+    synthetic_data: bool = False
+
+    # -- legacy / misc -----------------------------------------------------
+    enable_xla: bool = True  # XLA is always on for JAX; kept for CLI parity
+    distribute: bool = False  # kept for parity; JAX shards whenever >1 device
+
+    # -- derived at runtime (filled by finalize()) -------------------------
+    height_network: int = 0
+    width_network: int = 0
+    num_examples_per_epoch: int = 0
+    num_batches_per_epoch: int = 0
+    num_training_steps: int = 0
+    learning_rate_boundaries_epochs: tuple[int, ...] = ()
+    learning_rate_boundaries_steps: tuple[int, ...] = ()
+    learning_rate_values_resolved: tuple[float, ...] = ()
+
+    # ----------------------------------------------------------------------
+
+    def replace(self, **kw: Any) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        """Reference _validate_settings (system_factory.py:424-461)."""
+        if self.height_network != self.height_feature_extractor or (
+            self.width_network != self.width_feature_extractor
+        ):
+            raise ValueError(
+                "For now height/width_network must equal "
+                "height/width_feature_extractor (patch-wise training is not "
+                "implemented)."
+            )
+        if self.learning_rate_schedule == "piecewise_constant":
+            if bool(self.learning_rate_decay) == bool(self.learning_rate_values):
+                raise AttributeError(
+                    "If learning_rate_schedule is piecewise_constant exactly one "
+                    "of learning_rate_decay or learning_rate_values must be given."
+                )
+        if self.upsampling_method not in ("no", "bilinear", "hybrid"):
+            raise ValueError(f"unknown upsampling_method {self.upsampling_method}")
+        if bool(self.fov_expansion_kernel_rate) != bool(self.fov_expansion_kernel_size):
+            raise ValueError(
+                "Both or neither of fov_expansion_kernel_{rate,size} must be set."
+            )
+        if self.name_feature_extractor != "resnet_v1_50":
+            raise NotImplementedError(
+                "Only resnet_v1_50 feature extractor is implemented."
+            )
+
+    def finalize(self) -> "Settings":
+        """Fill derived fields. Returns a new Settings (self is untouched).
+
+        Mirrors reference system_factory train() derived math
+        (system_factory.py:197-248) incl. LR boundary epoch->step conversion.
+        """
+        s = self.replace(
+            height_network=self.height_feature_extractor,
+            width_network=self.width_feature_extractor,
+        )
+        # default for piecewise constant: decay 0.5 when nothing given
+        lr_decay = s.learning_rate_decay
+        lr_values = s.learning_rate_values
+        if s.learning_rate_schedule == "piecewise_constant" and not (lr_decay or lr_values):
+            lr_decay = 0.5
+
+        # epoch/step math (patch-wise factors are ==1 by the validate() assert)
+        num_examples_per_epoch = int(
+            s.Ntrain
+            * (s.height_network // s.height_feature_extractor)
+            * (s.width_network // s.width_feature_extractor)
+        )
+        num_batches_per_epoch = int(num_examples_per_epoch / s.Nb)
+        num_training_steps = int(s.Ne * num_batches_per_epoch)
+
+        boundaries = list(s.learning_rate_boundaries)
+        values: tuple[float, ...] = ()
+        if s.learning_rate_schedule == "piecewise_constant":
+            last_boundary = s.Ne - boundaries[-1]
+            if last_boundary == 0:
+                boundaries.pop()
+            elif last_boundary < 0:
+                raise ValueError("Ne is less than learning rate boundaries.")
+            boundaries_steps = [b * num_batches_per_epoch for b in boundaries]
+            if lr_decay:
+                values = tuple(
+                    s.learning_rate_initial * lr_decay**i
+                    for i in range(len(boundaries_steps) + 1)
+                )
+            else:
+                assert lr_values is not None
+                values = tuple(lr_values)
+                if len(values) != len(boundaries_steps) + 1:
+                    raise ValueError(
+                        f"piecewise_constant needs len(values) == len(boundaries)+1; "
+                        f"got {len(values)} values, {len(boundaries_steps)} boundaries."
+                    )
+        else:
+            boundaries_steps = []
+
+        save_ckpt = s.save_checkpoints_steps or num_batches_per_epoch
+
+        s = s.replace(
+            learning_rate_decay=lr_decay,
+            num_examples_per_epoch=num_examples_per_epoch,
+            num_batches_per_epoch=num_batches_per_epoch,
+            num_training_steps=num_training_steps,
+            learning_rate_boundaries_epochs=tuple(boundaries),
+            learning_rate_boundaries_steps=tuple(boundaries_steps),
+            learning_rate_values_resolved=values,
+            save_checkpoints_steps=save_ckpt,
+        )
+        s.validate()
+        return s
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=1, default=str)
+
+    def dump(self, path: str) -> None:
+        """Persist settings for future reference (system_factory.py:252-261)."""
+        items = sorted(dataclasses.asdict(self).items())
+        with open(path, "w") as f:
+            for i, (k, v) in enumerate(items):
+                print(f"{i:2} : {k} : {v}", file=f)
+
+
+# ---------------------------------------------------------------------------
+# argparse surface (CLI parity with the reference entry points)
+# ---------------------------------------------------------------------------
+
+
+def _add_system_arguments(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--height_system", type=int, default=None)
+    p.add_argument("--width_system", type=int, default=None)
+    p.add_argument("--height_feature_extractor", type=int, default=512)
+    p.add_argument("--width_feature_extractor", type=int, default=1024)
+    p.add_argument("--enable_xla", action="store_true", default=True)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--synthetic_data", action="store_true")
+
+
+def _add_model_arguments(p: argparse.ArgumentParser) -> None:
+    """reference resnet50_extended_model_hierarchical.py:228-269"""
+    p.add_argument("--stride_feature_extractor", type=int, default=8)
+    p.add_argument("--name_feature_extractor", type=str, default="resnet_v1_50",
+                   choices=["resnet_v1_50", "resnet_v1_101"])
+    p.add_argument("--feature_dims_decreased", type=int, default=256)
+    p.add_argument("--fov_expansion_kernel_size", type=int, default=0)
+    p.add_argument("--fov_expansion_kernel_rate", type=int, default=0)
+    p.add_argument("--upsampling_method", type=str, default="bilinear",
+                   choices=["no", "bilinear", "hybrid"])
+    p.add_argument("--psp_module", action="store_true")
+    p.add_argument("--norm_layer", type=str, default="batch", choices=["batch", "group"])
+    p.add_argument("--cross_replica_norm", action="store_true")
+    p.add_argument("--norm_train_variables", action="store_true", default=True)
+    p.add_argument("--batch_norm_accumulate_statistics", action="store_true", default=True)
+    p.add_argument("--batch_norm_decay", type=float, default=0.9)
+
+
+def _add_train_arguments(p: argparse.ArgumentParser) -> None:
+    """reference utils/utils.py:56-119"""
+    p.add_argument("log_dir", type=str)
+    p.add_argument("per_pixel_dataset_name", type=str, choices=["cityscapes", "vistas"])
+    p.add_argument("--Ntrain", type=int, default=2975)
+    p.add_argument("--init_ckpt_path", type=str, default="")
+    p.add_argument("--training_problem_def_path", type=str, default="")
+    p.add_argument("--save_checkpoints_steps", type=int, default=None)
+    p.add_argument("--save_summaries_steps", type=int, default=120)
+    p.add_argument("--train_void_class", action="store_true")
+    p.add_argument("--Ne", type=int, default=17)
+    p.add_argument("--Nb", type=int, default=4)
+    p.add_argument("--learning_rate_schedule", type=str, default="piecewise_constant",
+                   choices=["piecewise_constant", "polynomial_decay"])
+    p.add_argument("--learning_rate_initial", type=float, default=0.01)
+    p.add_argument("--learning_rate_boundaries", type=int, default=[8, 15, 17], nargs="*")
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--learning_rate_decay", type=float, default=None)
+    g.add_argument("--learning_rate_values", type=float, nargs="*", default=None)
+    p.add_argument("--learning_rate_final", type=float, default=0.5)
+    p.add_argument("--learning_rate_power", type=float, default=0.9)
+    p.add_argument("--optimizer", type=str, default="SGDM", choices=["SGD", "SGDM"])
+    p.add_argument("--ema_decay", type=float, default=0.9)
+    p.add_argument("--regularization_weight", type=float, default=0.00017)
+    p.add_argument("--bootstrapping_percentage", type=int, default=-1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--use_nesterov", action="store_true")
+    p.add_argument("--distribute", action="store_true")
+    p.add_argument("--tfrecords_path_per_pixel", type=str, default="")
+    p.add_argument("--dataset_directory", type=str, default="")
+    p.add_argument("--openimages_image_dir", type=str, default="")
+    p.add_argument("--openimages_bboxes_path", type=str, default="")
+    p.add_argument("--openimages_image_labels_path", type=str, default="")
+
+
+def _add_inference_arguments(p: argparse.ArgumentParser) -> None:
+    """reference utils/utils.py:121-150"""
+    p.add_argument("log_dir", type=str)
+    p.add_argument("training_problem_def_path", type=str)
+    p.add_argument("predict_dir", type=str)
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--inference_problem_def_path", type=str, default=None)
+    p.add_argument("--replace_voids", action="store_true")
+    p.add_argument("--Nb", type=int, default=1)
+    p.add_argument("--restore_emas", action="store_true")
+    p.add_argument("--train_void_class", action="store_true")
+    p.add_argument("--results_dir", type=str, default=None)
+    p.add_argument("--plotting", action="store_true")
+    p.add_argument("--timeout", type=float, default=10.0)
+    p.add_argument("--export_color_decisions", action="store_true")
+    p.add_argument("--export_lids_images", action="store_true")
+    p.add_argument("--preserve_aspect_ratio", action="store_true")
+
+
+def _add_evaluate_arguments(p: argparse.ArgumentParser) -> None:
+    """reference utils/utils.py:152-178"""
+    p.add_argument("log_dir", type=str)
+    p.add_argument("Neval", type=int)
+    p.add_argument("training_problem_def_path", type=str)
+    p.add_argument("--eval_all_ckpts", action="store_true")
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--evaluation_problem_def_path", type=str, default=None)
+    p.add_argument("--replace_voids", action="store_true")
+    p.add_argument("--train_void_class", action="store_true")
+    p.add_argument("--Nb", type=int, default=1)
+    p.add_argument("--restore_emas", action="store_true")
+    p.add_argument("--tfrecords_path", type=str, default="")
+    p.add_argument("--dataset_directory", type=str, default="")
+    p.add_argument("--per_pixel_dataset_name", type=str, default="cityscapes",
+                   choices=["cityscapes", "vistas"])
+
+
+def build_argparser(mode: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    _add_system_arguments(p)
+    _add_model_arguments(p)
+    if mode == TRAIN:
+        _add_train_arguments(p)
+    elif mode == PREDICT:
+        _add_inference_arguments(p)
+    elif mode == EVAL:
+        _add_evaluate_arguments(p)
+    return p
+
+
+def settings_from_args(args: argparse.Namespace, mode: str, **extra: Any) -> Settings:
+    """Build Settings from parsed CLI args + programmatic extras."""
+    field_names = {f.name for f in dataclasses.fields(Settings)}
+    kw = {k: v for k, v in vars(args).items() if k in field_names and v is not None}
+    for k in ("learning_rate_boundaries", "learning_rate_values", "predict_keys"):
+        if k in kw and isinstance(kw[k], list):
+            kw[k] = tuple(kw[k])
+    kw.update(extra)
+    kw["mode"] = mode
+    return Settings(**kw)

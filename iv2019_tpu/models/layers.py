@@ -1,0 +1,203 @@
+"""Layer primitives with TF-slim numerical parity, flax.linen on TPU.
+
+Replicates the exact padding / normalization / initialization conventions of
+the reference's slim stack so that converted checkpoints validate:
+
+- ``conv2d_same``: symmetric explicit padding ``keff - 1`` split low/high
+  (reference: slim resnet_utils.conv2d_same used by resnet_v1, see
+  resnet50_extended_feature_extractor.py:25-30)
+- BatchNorm: decay 0.9, epsilon 1e-5, scale=True
+  (reference resnet50_extended_model_hierarchical.py:278-354). Statistics are
+  computed over the *global* (sharded) batch: under jit/SPMD this is
+  cross-replica sync-BN by construction — XLA inserts the ICI collectives the
+  reference hand-rolls in cross_replica_batch_normalization.py:398-429.
+- variance-scaling initializer (factor 2.0, fan-in, truncated normal), the
+  slim default used throughout (resnet50_...model_hierarchical.py:337)
+- ResNet-v1 bottleneck unit (slim resnet_v1.bottleneck), with the dilation
+  bookkeeping needed for output_stride=8
+
+Mixed precision: convs compute in ``dtype`` (bfloat16 by default) with f32
+parameters; normalization always runs in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["ConvSame", "Norm", "conv_norm_relu", "BottleneckV1", "variance_scaling_init"]
+
+variance_scaling_init = nn.initializers.variance_scaling(
+    2.0, "fan_in", "truncated_normal"
+)
+
+
+def _same_padding(kernel_size: int, rate: int) -> tuple[int, int]:
+    """TF conv2d_same explicit padding: symmetric keff-1 split low/high."""
+    keff = kernel_size + (kernel_size - 1) * (rate - 1)
+    pad_total = keff - 1
+    pad_beg = pad_total // 2
+    return (pad_beg, pad_total - pad_beg)
+
+
+class ConvSame(nn.Module):
+    """2-D conv with TF resnet_utils.conv2d_same padding semantics.
+
+    For stride 1 this equals TF 'SAME'; for stride > 1 TF 'SAME' pads
+    asymmetrically while conv2d_same pads symmetrically — the reference's
+    ResNet uses the latter for every strided conv, so we do too.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    rate: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        pad = _same_padding(self.kernel_size, self.rate)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            kernel_dilation=(self.rate, self.rate),
+            padding=(pad, pad),
+            use_bias=self.use_bias,
+            kernel_init=variance_scaling_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class Norm(nn.Module):
+    """Normalization layer: batch (default) or group, f32 compute.
+
+    BatchNorm parity: tf.contrib.layers.batch_norm(decay=0.9, epsilon=1e-5,
+    scale=True). ``use_running_average`` maps the reference's
+    ``batch_norm_accumulate_statistics`` (train: False -> batch stats +
+    moving-stat updates; eval/predict: True -> moving stats).
+    """
+
+    norm_type: str = "batch"  # | "group"
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    groups: int = 32
+    use_running_average: bool = True
+    trainable: bool = True  # norm_train_variables
+
+    @nn.compact
+    def __call__(self, x):
+        in_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        if self.norm_type == "batch":
+            y = nn.BatchNorm(
+                use_running_average=self.use_running_average,
+                momentum=self.momentum,
+                epsilon=self.epsilon,
+                use_bias=True,
+                use_scale=True,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="BatchNorm",
+            )(x32)
+        elif self.norm_type == "group":
+            y = nn.GroupNorm(
+                num_groups=min(self.groups, x.shape[-1]),
+                epsilon=self.epsilon,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="GroupNorm",
+            )(x32)
+        else:
+            raise ValueError(f"unknown norm_type {self.norm_type!r}")
+        return y.astype(in_dtype)
+
+
+class conv_norm_relu(nn.Module):
+    """slim.conv2d default composition: conv (no bias) -> norm -> relu.
+
+    ``activation=False`` reproduces slim.conv2d(..., activation_fn=None),
+    which still applies the arg-scope normalizer (the reference's logits
+    heads therefore carry a BatchNorm — see
+    resnet50_extended_model_hierarchical.py:78-86).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    rate: int = 1
+    activation: bool = True
+    norm_type: str = "batch"
+    momentum: float = 0.9
+    use_running_average: bool = True
+    groups: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvSame(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.rate,
+            use_bias=False,
+            dtype=self.dtype,
+            name=None,
+        )(x)
+        x = Norm(
+            norm_type=self.norm_type,
+            momentum=self.momentum,
+            groups=self.groups,
+            use_running_average=self.use_running_average,
+            name="norm",
+        )(x)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
+class BottleneckV1(nn.Module):
+    """slim resnet_v1.bottleneck: 1x1 / 3x3(stride, rate) / 1x1 + projection.
+
+    Identity shortcut (with stride subsampling) when depth_in == depth, else
+    a 1x1 projection conv + norm. Final relu after the residual add.
+    """
+
+    depth: int
+    depth_bottleneck: int
+    stride: int = 1
+    rate: int = 1
+    norm_type: str = "batch"
+    momentum: float = 0.9
+    use_running_average: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        depth_in = x.shape[-1]
+        kw = dict(
+            norm_type=self.norm_type,
+            momentum=self.momentum,
+            use_running_average=self.use_running_average,
+            dtype=self.dtype,
+        )
+        if depth_in == self.depth:
+            # subsample: 1x1 max pool with stride (slim resnet_utils.subsample)
+            shortcut = x if self.stride == 1 else x[:, :: self.stride, :: self.stride, :]
+        else:
+            shortcut = conv_norm_relu(
+                self.depth, 1, self.stride, activation=False, name="shortcut", **kw
+            )(x)
+        residual = conv_norm_relu(self.depth_bottleneck, 1, 1, name="conv1", **kw)(x)
+        residual = conv_norm_relu(
+            self.depth_bottleneck, 3, self.stride, rate=self.rate, name="conv2", **kw
+        )(residual)
+        residual = conv_norm_relu(self.depth, 1, 1, activation=False, name="conv3", **kw)(
+            residual
+        )
+        return nn.relu(shortcut + residual)

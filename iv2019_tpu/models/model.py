@@ -1,0 +1,229 @@
+"""Hierarchical semantic-segmentation model: dilated ResNet-50 + 3 heads.
+
+TPU-native reimplementation of the reference model
+(resnet50_extended_model_hierarchical.py:17-141 and
+resnet50_extended_feature_extractor.py:8-51):
+
+  features -> ResNet-v1-50 (dilated, output stride 8)
+           -> extension 1x1 conv 2048->256 (+ optional dilated FOV conv)
+           -> optional PSP pyramid module
+           -> 3 parallel bottleneck adaptation branches
+           -> 1x1 logit heads (L1 / L2-vehicle / L2-human)
+           -> bilinear x8 upsample (align_corners=True) to input size
+           -> softmax / argmax per head
+           -> hierarchical decision fusion into the common label space
+
+All spatial compute stays in ``compute_dtype`` (bf16 by default) on the
+MXU; softmax/argmax/fusion run in f32. The decision fusion is a pair of
+``where``-gated table gathers (reference :95-117).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from iv2019_tpu.config import Settings
+from iv2019_tpu.models.layers import BottleneckV1, Norm, conv_norm_relu
+from iv2019_tpu.models.resnet import ResNetV1
+from iv2019_tpu.ops.resize import resize_bilinear
+from iv2019_tpu.ops.segment_ops import gather_cids
+from iv2019_tpu.problem.taxonomy import Taxonomy, get_taxonomy
+
+__all__ = ["HierarchicalSegmentationModel", "build_model"]
+
+
+class PSPModule(nn.Module):
+    """Pyramid Scene Parsing module (reference :186-207).
+
+    Average pools at 1/1, 1/2, 1/3, 1/6 of the feature map ('VALID' slim
+    pooling), 1x1 conv each, bilinear-upsample (align_corners=True) back,
+    concat with the input, and fuse with a final 1x1 conv.
+    """
+
+    features: int
+    norm_type: str = "batch"
+    momentum: float = 0.9
+    use_running_average: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[1], x.shape[2]
+        kw = dict(
+            norm_type=self.norm_type,
+            momentum=self.momentum,
+            use_running_average=self.use_running_average,
+            dtype=self.dtype,
+        )
+        branches = [x]
+        for i, div in enumerate((1, 2, 3, 6)):
+            ph, pw = h // div, w // div
+            pooled = nn.avg_pool(x, window_shape=(ph, pw), strides=(ph, pw))
+            conv = conv_norm_relu(self.features, 1, name=f"conv{div}", **kw)(pooled)
+            ups = resize_bilinear(conv.astype(jnp.float32), (h, w), align_corners=True)
+            branches.append(ups.astype(x.dtype))
+        cat = jnp.concatenate(branches, axis=3)
+        return conv_norm_relu(self.features, 1, name="conv_final", **kw)(cat)
+
+
+class HierarchicalSegmentationModel(nn.Module):
+    """Full model; returns the 10-key predictions dict of the reference."""
+
+    taxonomy: Taxonomy
+    stride_feature_extractor: int = 8
+    feature_dims_decreased: int = 256
+    fov_expansion_kernel_size: int = 0
+    fov_expansion_kernel_rate: int = 0
+    psp_module: bool = False
+    upsampling_method: str = "bilinear"
+    norm_type: str = "batch"
+    batch_norm_decay: float = 0.9
+    accumulate_norm_statistics: bool = False  # True during training
+    dtype: Any = jnp.bfloat16
+
+    def _norm_kw(self):
+        return dict(
+            norm_type=self.norm_type,
+            momentum=self.batch_norm_decay,
+            use_running_average=not self.accumulate_norm_statistics,
+            dtype=self.dtype,
+        )
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (N, H, W, 3) float in [-1, 1). Returns predictions dict."""
+        tax = self.taxonomy
+        kw = self._norm_kw()
+        hf, wf = images.shape[1], images.shape[2]
+
+        x = images.astype(self.dtype)
+
+        # --- feature extractor: base + extension (feature_extractor/*) ---
+        x, end_points = ResNetV1(
+            output_stride=self.stride_feature_extractor,
+            norm_type=self.norm_type,
+            momentum=self.batch_norm_decay,
+            use_running_average=not self.accumulate_norm_statistics,
+            dtype=self.dtype,
+            name="feature_extractor/base",
+        )(x)
+        if self.feature_dims_decreased > 0:
+            x = conv_norm_relu(
+                self.feature_dims_decreased, 1,
+                name="feature_extractor/extension/decrease_fdims", **kw,
+            )(x)
+        if self.fov_expansion_kernel_rate > 0 and self.fov_expansion_kernel_size > 0:
+            x = conv_norm_relu(
+                x.shape[-1],
+                self.fov_expansion_kernel_size,
+                rate=self.fov_expansion_kernel_rate,
+                name="feature_extractor/extension/increase_fov", **kw,
+            )(x)
+        if self.psp_module:
+            x = PSPModule(
+                self.feature_dims_decreased,
+                norm_type=self.norm_type,
+                momentum=self.batch_norm_decay,
+                use_running_average=not self.accumulate_norm_statistics,
+                dtype=self.dtype,
+                name="feature_extractor/pyramid_module",
+            )(x)
+
+        # --- adaptation: 3 parallel bottlenecks (adaptation_module/*) ---
+        def _branch(name):
+            return BottleneckV1(
+                depth=x.shape[-1], depth_bottleneck=x.shape[-1], stride=1,
+                norm_type=self.norm_type, momentum=self.batch_norm_decay,
+                use_running_average=not self.accumulate_norm_statistics,
+                dtype=self.dtype, name=f"adaptation_module/{name}",
+            )(x)
+
+        l1_features = _branch("l1_features")
+        l2_vehicle_features = _branch("l2_vehicle_features")
+        l2_human_features = _branch("l2_human_features")
+
+        # --- heads: 1x1 conv (no act; arg-scope norm still applies, with
+        # groups=1 => layer norm in the group-norm config) + upsample ---
+        head_kw = dict(kw)
+        head_kw["groups"] = 1
+
+        def _head(feat, n_out, name):
+            logits = conv_norm_relu(
+                n_out, 1, activation=False, name=f"softmax_classifier/{name}",
+                **head_kw,
+            )(feat)
+            return self._upsample(logits, (hf, wf), name)
+
+        l1_logits = _head(l1_features, tax.num_l1_classes, "l1_logits")
+        l2_vehicle_logits = _head(l2_vehicle_features, tax.num_vehicle_classes, "l2_vehicle_logits")
+        l2_human_logits = _head(l2_human_features, tax.num_human_classes, "l2_human_logits")
+
+        # --- probabilities / decisions / fusion (f32) ---
+        l1_probs = nn.softmax(l1_logits, axis=3)
+        l1_decs = jnp.argmax(l1_probs, axis=3).astype(jnp.int32)
+        l2_vehicle_probs = nn.softmax(l2_vehicle_logits, axis=3)
+        l2_vehicle_decs = jnp.argmax(l2_vehicle_probs, axis=3).astype(jnp.int32)
+        l2_human_probs = nn.softmax(l2_human_logits, axis=3)
+        l2_human_decs = jnp.argmax(l2_human_probs, axis=3).astype(jnp.int32)
+
+        decs = jnp.where(
+            l1_decs == tax.cid_l1_vehicle,
+            gather_cids(tax.l2_vehicle_cids2common_cids, l2_vehicle_decs),
+            jnp.where(
+                l1_decs == tax.cid_l1_human,
+                gather_cids(tax.l2_human_cids2common_cids, l2_human_decs),
+                gather_cids(tax.l1_cids2common_cids, l1_decs),
+            ),
+        )
+
+        return {
+            "l1_logits": l1_logits,
+            "l1_probabilities": l1_probs,
+            "l1_decisions": l1_decs,
+            "l2_vehicle_logits": l2_vehicle_logits,
+            "l2_vehicle_probabilities": l2_vehicle_probs,
+            "l2_vehicle_decisions": l2_vehicle_decs,
+            "l2_human_logits": l2_human_logits,
+            "l2_human_probabilities": l2_human_probs,
+            "l2_human_decisions": l2_human_decs,
+            "decisions": decs,
+        }
+
+    def _upsample(self, logits, size, name):
+        """x8 logit upsampler (reference _create_upsampler :143-184)."""
+        if self.upsampling_method == "no":
+            return logits.astype(jnp.float32)
+        if self.upsampling_method == "hybrid":
+            # 3x3 transpose conv (stride 1, slim default) then resize
+            logits = nn.ConvTranspose(
+                features=logits.shape[-1],
+                kernel_size=(3, 3),
+                padding="SAME",
+                use_bias=True,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"softmax_classifier/{name}/upsampling/conv_transpose",
+            )(logits)
+        return resize_bilinear(logits.astype(jnp.float32), size, align_corners=True)
+
+
+def build_model(settings: Settings) -> HierarchicalSegmentationModel:
+    """Model from Settings (the reference's params-driven construction)."""
+    return HierarchicalSegmentationModel(
+        taxonomy=get_taxonomy(settings.per_pixel_dataset_name),
+        stride_feature_extractor=settings.stride_feature_extractor,
+        feature_dims_decreased=settings.feature_dims_decreased,
+        fov_expansion_kernel_size=settings.fov_expansion_kernel_size,
+        fov_expansion_kernel_rate=settings.fov_expansion_kernel_rate,
+        psp_module=settings.psp_module,
+        upsampling_method=settings.upsampling_method,
+        norm_type=settings.norm_layer,
+        batch_norm_decay=settings.batch_norm_decay,
+        accumulate_norm_statistics=(
+            settings.batch_norm_accumulate_statistics and settings.mode == "train"
+        ),
+        dtype=jnp.bfloat16 if settings.compute_dtype == "bfloat16" else jnp.float32,
+    )

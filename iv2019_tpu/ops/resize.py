@@ -1,0 +1,137 @@
+"""TF1-exact image resizing for TPU (XLA-friendly gathers + lerps).
+
+The reference relies on TF r1.12 ``tf.image.resize_images`` semantics in three
+distinct flavors:
+
+- model upsampler: bilinear, ``align_corners=True``
+  (reference resnet50_extended_model_hierarchical.py:167)
+- prediction resize: bilinear/NN, ``align_corners=True``
+  (reference define_estimator_hierarchical.py:556-563)
+- input pipelines: bilinear/NN, ``align_corners=False`` (TF1 legacy, *not*
+  half-pixel centers) (reference utils/utils.py:592-595)
+
+``jax.image.resize`` implements half-pixel-center sampling (TF2 default) and
+matches *neither*, so we implement the TF1 kernels exactly:
+
+- scale = (in-1)/(out-1) if align_corners and out>1 else in/out
+- bilinear: src = dst * scale; top-left floor + lerp, clamped
+- nearest:  src = floor(dst*scale) (legacy) or round(dst*scale) (aligned),
+  clamped to in-1
+
+All index/weight tables are computed with numpy at trace time (output sizes
+are static under jit), so the hot path is two 1-D gathers + fused lerps per
+spatial axis — memory-bound ops XLA fuses well on TPU. The same functions
+work on numpy inputs for the host-side input pipeline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "resize_bilinear",
+    "resize_nearest",
+    "resize_images",
+    "resize_labels",
+]
+
+
+def _tf1_scale(in_size: int, out_size: int, align_corners: bool) -> float:
+    if align_corners and out_size > 1:
+        return (in_size - 1) / (out_size - 1)
+    return in_size / out_size
+
+
+def _bilinear_tables(in_size: int, out_size: int, align_corners: bool):
+    """(lo_idx, hi_idx, frac) numpy tables for one axis, TF1 semantics."""
+    scale = _tf1_scale(in_size, out_size, align_corners)
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    return lo, hi, frac
+
+
+def _nearest_table(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    scale = _tf1_scale(in_size, out_size, align_corners)
+    src = np.arange(out_size, dtype=np.float64) * scale
+    if align_corners:
+        idx = np.round(src).astype(np.int64)
+    else:
+        idx = np.floor(src).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def _ns(x):
+    """Array namespace (numpy for np inputs, jnp otherwise)."""
+    return np if isinstance(x, np.ndarray) else jnp
+
+
+def resize_bilinear(images, size: Sequence[int], align_corners: bool = False):
+    """TF1 bilinear resize of NHWC (or HWC) float images to ``size`` (h, w).
+
+    Returns float32 (like tf.image.resize_images on float input).
+    """
+    xp = _ns(images)
+    squeeze = images.ndim == 3
+    if squeeze:
+        images = images[None]
+    n, in_h, in_w, c = images.shape
+    out_h, out_w = int(size[0]), int(size[1])
+    if (in_h, in_w) == (out_h, out_w):
+        out = images.astype(xp.float32)
+        return out[0] if squeeze else out
+
+    y_lo, y_hi, y_frac = _bilinear_tables(in_h, out_h, align_corners)
+    x_lo, x_hi, x_frac = _bilinear_tables(in_w, out_w, align_corners)
+
+    imgs = images.astype(xp.float32)
+    # gather along W then lerp: (N, H, out_w, C)
+    left = xp.take(imgs, x_lo, axis=2)
+    right = xp.take(imgs, x_hi, axis=2)
+    wx = x_frac.reshape(1, 1, out_w, 1)
+    row = left + (right - left) * wx
+    # gather along H then lerp: (N, out_h, out_w, C)
+    top = xp.take(row, y_lo, axis=1)
+    bot = xp.take(row, y_hi, axis=1)
+    wy = y_frac.reshape(1, out_h, 1, 1)
+    out = top + (bot - top) * wy
+    return out[0] if squeeze else out
+
+
+def resize_nearest(features, size: Sequence[int], align_corners: bool = False):
+    """TF1 nearest-neighbor resize along the two spatial axes.
+
+    Accepts NHW (labels) or NHWC tensors of any dtype; dtype is preserved.
+    """
+    xp = _ns(features)
+    spatial_first_axis = 1 if features.ndim >= 3 else 0
+    in_h = features.shape[spatial_first_axis]
+    in_w = features.shape[spatial_first_axis + 1]
+    out_h, out_w = int(size[0]), int(size[1])
+    if (in_h, in_w) == (out_h, out_w):
+        return features
+    y_idx = _nearest_table(in_h, out_h, align_corners)
+    x_idx = _nearest_table(in_w, out_w, align_corners)
+    out = xp.take(features, y_idx, axis=spatial_first_axis)
+    out = xp.take(out, x_idx, axis=spatial_first_axis + 1)
+    return out
+
+
+def resize_images(images, size, method: str = "bilinear", align_corners: bool = False):
+    """Dispatch on method name, mirroring tf.image.resize_images usage."""
+    if method == "bilinear":
+        return resize_bilinear(images, size, align_corners)
+    if method in ("nearest", "nearest_neighbor"):
+        return resize_nearest(images, size, align_corners)
+    raise ValueError(f"unsupported resize method {method!r}")
+
+
+def resize_labels(labels, size, align_corners: bool = False):
+    """NN-resize integer label maps (NHW or HW)."""
+    return resize_nearest(labels, size, align_corners)
