@@ -1,0 +1,145 @@
+"""Benchmark harness: mixed-supervision train-step throughput on real TPU.
+
+Runs the flagship configuration (hierarchical dilated ResNet-50, the
+reference's Nb=4+8+4 mixed batch at 512x1024 — reference train.py:62-68)
+with synthetic device-resident data and reports images/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": R}
+
+``vs_baseline`` compares against the roofline target: the reference publishes
+no throughput numbers (BASELINE.md), so the driver-set bar is >= 90% of the
+compute roofline (BASELINE.json north star). R = value / (0.9 * roofline),
+with the roofline derived from XLA's own FLOP count for the compiled step at
+the chip's peak bf16 throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _peak_flops(device) -> float:
+    """Peak bf16 FLOP/s for the benchmarking chip (fallback: v5e)."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "tpu v5 lite": 197e12,  # v5e
+        "tpu v5e": 197e12,
+        "tpu v4": 275e12,
+        "tpu v5p": 459e12,
+        "tpu v6 lite": 918e12,  # v6e
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def main(steps: int = 20, warmup: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from iv2019_tpu.config import Settings
+    from iv2019_tpu.models.model import build_model
+    from iv2019_tpu.problem.taxonomy import NUM_WEAK_CLASSES
+    from iv2019_tpu.train.optimizer import make_optimizer
+    from iv2019_tpu.train.state import create_train_state
+    from iv2019_tpu.train.step import make_train_step
+
+    h, w = 512, 1024
+    npp, npb, npi = 4, 8, 4
+    settings = Settings(
+        per_pixel_dataset_name="cityscapes",
+        Nb_per_pixel=npp, Nb_per_bbox=npb, Nb_per_image=npi, Nb=npp,
+        height_feature_extractor=h, width_feature_extractor=w,
+        Ntrain=2975, Ne=17,
+        learning_rate_boundaries=(8, 15, 17),
+        learning_rate_values=(0.01, 0.005, 0.0025),
+        compute_dtype="bfloat16",
+    ).finalize()
+
+    model = build_model(settings.replace(mode="train"))
+    rng = np.random.RandomState(0)
+
+    def img(n):
+        return jnp.asarray(rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32))
+
+    eye = np.eye(NUM_WEAK_CLASSES, dtype=np.float32)
+    batch = {
+        "proimages_per_pixel": img(npp),
+        "proimages_per_bbox": img(npb),
+        "proimages_per_image": img(npi),
+        "prolabels_per_pixel": jnp.asarray(
+            rng.randint(0, 20, (npp, h, w)).astype(np.int32)
+        ),
+        "prolabels_per_bbox": jnp.asarray(eye[rng.randint(0, 15, (npb, h, w))]),
+        "prolabels_per_image": jnp.asarray(eye[rng.randint(0, 15, (npi, h, w))]),
+    }
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3), jnp.float32)
+    )
+    tx, _ = make_optimizer(settings)
+    state = create_train_state(variables, tx, settings.ema_decay)
+
+    step_fn = make_train_step(settings, model=model, tx=tx)
+
+    # compile + roofline estimate from XLA's own cost model
+    lowered = jax.jit(
+        step_fn.__wrapped__ if hasattr(step_fn, "__wrapped__") else step_fn,
+        donate_argnums=(0,),
+    ).lower(state, batch)
+    compiled = lowered.compile()
+    try:
+        flops_per_step = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_step = float("nan")
+
+    imgs = npp + npb + npi
+    n_chips = max(jax.local_device_count(), 1)
+
+    # warmup
+    for _ in range(warmup):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    ips_per_chip = steps * imgs / dt / n_chips
+    peak = _peak_flops(jax.devices()[0])
+    if np.isfinite(flops_per_step):
+        roofline_ips = peak / (flops_per_step / imgs) / n_chips
+        vs_baseline = ips_per_chip / (0.9 * roofline_ips)
+    else:
+        roofline_ips = float("nan")
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(ips_per_chip, 3),
+        "unit": "img/s",
+        "vs_baseline": round(vs_baseline, 4) if np.isfinite(vs_baseline) else None,
+        "detail": {
+            "step_time_ms": round(dt / steps * 1e3, 2),
+            "images_per_step": imgs,
+            "flops_per_step": flops_per_step,
+            "roofline_img_per_s_per_chip": round(roofline_ips, 2)
+            if np.isfinite(roofline_ips) else None,
+            "loss": float(metrics["total"]),
+            "device": str(jax.devices()[0].device_kind),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    main(steps=steps)

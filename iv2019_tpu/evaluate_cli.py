@@ -1,0 +1,49 @@
+"""Evaluation entry point (reference code/evaluate.py parity).
+
+Usage:
+  python -m iv2019_tpu.evaluate_cli LOG_DIR NEVAL PROBLEM_DEF [flags]
+
+Evaluates one checkpoint (or all with --eval_all_ckpts), prints per-class
+metrics online, and dumps ``all_metrics.txt`` + ``all_metrics.p``
+(reference evaluate.py:54-67).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+
+from iv2019_tpu.config import EVAL, build_argparser, settings_from_args
+from iv2019_tpu.input.cityscapes import evaluate_input
+from iv2019_tpu.system import SemanticSegmentation
+from iv2019_tpu.utils.metrics import print_metrics_from_confusion_matrix
+
+
+def main(argv):
+    args = build_argparser(EVAL).parse_args(argv)
+    settings = settings_from_args(args, EVAL)
+
+    system = SemanticSegmentation({"eval": evaluate_input}, settings=settings)
+    all_metrics = system.evaluate()
+
+    out_dir = system.eval_res_dir
+    labels = list(system.evaluation_problem_def.cids2labels)
+    if (
+        -1 in system.evaluation_problem_def.lids2cids
+        and not settings.train_void_class
+    ):
+        labels = labels[:-1]
+    with open(os.path.join(out_dir, "all_metrics.txt"), "w") as f:
+        for metrics in all_metrics:
+            print(f"step: {metrics['global_step']}", file=f)
+            print_metrics_from_confusion_matrix(
+                metrics["confusion_matrix"], labels, printfile=f, summary=True
+            )
+    with open(os.path.join(out_dir, "all_metrics.p"), "wb") as f:
+        pickle.dump(all_metrics, f)
+    return all_metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,160 @@
+"""OpenImages (OpenScapes) weak-supervision input pipelines.
+
+Two pipelines, parity with the reference:
+
+- bounding boxes (input_subset_bboxes_v2.py): a {imageid: [(mid, (xmin,
+  xmax, ymin, ymax)), ...]} mapping (pickle or json) + a JPEG directory.
+  Ground truth is a dense per-pixel 15-class multinomial rasterized from the
+  boxes — overlap-normalized, void where no box (reference :74-98) — then
+  aspect-preserving resized + randomly cropped to (hf, wf).
+- image-level labels (input_subset_image_labels.py): {imageid: [mids]};
+  ground truth is a single multinomial vector (uniform over present
+  classes) tiled to the image size (:73-96,:107).
+
+The reference's serial ``tf.py_func`` rasterizer is replaced by the
+vectorized corner-delta rasterizer in ops/rasterize.py (numpy here on host;
+the identical jnp kernel can run on device). ``MAX_N_BBOXES`` padding
+(reference :33) is unnecessary off-graph but kept as a sanity bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+from iv2019_tpu.config import Settings
+from iv2019_tpu.input import core
+from iv2019_tpu.ops.rasterize import (
+    image_label_multinomial_np,
+    rasterize_bboxes_np,
+)
+from iv2019_tpu.problem.taxonomy import NUM_WEAK_CLASSES, OPEN_IMAGES_MID2CID
+
+__all__ = [
+    "bbox_train_input",
+    "image_labels_train_input",
+    "synthetic_weak_batches",
+    "MAX_N_BBOXES",
+]
+
+MAX_N_BBOXES = 516  # reference input_subset_bboxes_v2.py:33
+
+
+def _load_mapping(path: str) -> dict:
+    if path.endswith(".json"):
+        with open(path) as f:
+            return json.load(f)
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _read_image(image_dir: str, imageid: str) -> np.ndarray:
+    img = Image.open(os.path.join(image_dir, imageid + ".jpg"))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img)
+
+
+def bbox_train_input(
+    settings: Settings, seed: Optional[int] = None
+) -> Iterator[dict]:
+    """Yields batched {'proimages' (Nb,hf,wf,3) in [-1,1), 'prolabels'
+    (Nb,hf,wf,15) f32, 'imageids'} dicts."""
+    if settings.synthetic_data:
+        yield from synthetic_weak_batches(settings, kind="bbox", seed=seed or 0)
+        return
+
+    imageid2bboxes = _load_mapping(settings.openimages_bboxes_path)
+    image_dir = settings.openimages_image_dir
+    hw = (settings.height_feature_extractor, settings.width_feature_extractor)
+    rng = np.random.RandomState(seed)
+
+    def _pre(item) -> dict:
+        imageid, bboxes = item
+        image = core.convert_image_dtype(_read_image(image_dir, imageid))
+        h, w = image.shape[:2]
+        cids = np.asarray(
+            [OPEN_IMAGES_MID2CID.get(mid, -1) for mid, _ in bboxes], np.int32
+        )
+        coords = np.asarray([c for _, c in bboxes], np.float32).reshape(-1, 4)
+        rla = rasterize_bboxes_np(cids, coords, h, w)
+        proimage, prolabel = core.resize_images_and_labels(
+            image, rla, hw, settings.preserve_aspect_ratio, rng
+        )
+        return {"proimages": proimage, "prolabels": prolabel, "imageids": imageid}
+
+    items = core.shuffle_repeat(lambda: iter(imageid2bboxes.items()), seed=seed)
+    mapped = core.parallel_map(_pre, items)
+    for batch in core.batched(mapped, settings.Nb):
+        batch["proimages"] = core.from_0_1_to_m1_1(batch["proimages"])
+        yield batch
+
+
+def image_labels_train_input(
+    settings: Settings, seed: Optional[int] = None
+) -> Iterator[dict]:
+    """Image-level labels pipeline; same contract as bbox_train_input."""
+    if settings.synthetic_data:
+        yield from synthetic_weak_batches(settings, kind="image", seed=seed or 0)
+        return
+
+    imageid2mids = _load_mapping(settings.openimages_image_labels_path)
+    image_dir = settings.openimages_image_dir
+    hw = (settings.height_feature_extractor, settings.width_feature_extractor)
+    rng = np.random.RandomState(seed)
+
+    def _pre(item) -> dict:
+        imageid, mids = item
+        image = core.convert_image_dtype(_read_image(image_dir, imageid))
+        cids = [OPEN_IMAGES_MID2CID.get(mid, -1) for mid in mids]
+        vec = image_label_multinomial_np([c for c in cids if c >= 0])
+        rla = np.broadcast_to(vec, (*image.shape[:2], NUM_WEAK_CLASSES))
+        proimage, prolabel = core.resize_images_and_labels(
+            image, np.ascontiguousarray(rla), hw, settings.preserve_aspect_ratio, rng
+        )
+        return {"proimages": proimage, "prolabels": prolabel, "imageids": imageid}
+
+    items = core.shuffle_repeat(lambda: iter(imageid2mids.items()), seed=seed)
+    mapped = core.parallel_map(_pre, items)
+    for batch in core.batched(mapped, settings.Nb):
+        batch["proimages"] = core.from_0_1_to_m1_1(batch["proimages"])
+        yield batch
+
+
+def synthetic_weak_batches(
+    settings: Settings, kind: str = "bbox", seed: int = 0
+) -> Iterator[dict]:
+    """Random weak-label batches with real shapes; bbox kind rasterizes a few
+    random boxes so the label statistics resemble data."""
+    rng = np.random.RandomState(seed)
+    h, w = settings.height_feature_extractor, settings.width_feature_extractor
+    n = settings.Nb
+    while True:
+        images = rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32)
+        labels = np.empty((n, h, w, NUM_WEAK_CLASSES), np.float32)
+        for i in range(n):
+            if kind == "bbox":
+                k = rng.randint(1, 8)
+                cids = rng.randint(0, NUM_WEAK_CLASSES - 1, size=k).astype(np.int32)
+                x = np.sort(rng.rand(k, 2), axis=1)
+                y = np.sort(rng.rand(k, 2), axis=1)
+                boxes = np.stack([x[:, 0], x[:, 1], y[:, 0], y[:, 1]], 1).astype(
+                    np.float32
+                )
+                labels[i] = rasterize_bboxes_np(cids, boxes, h, w)
+            else:
+                k = rng.randint(0, 4)
+                vec = image_label_multinomial_np(
+                    rng.randint(0, NUM_WEAK_CLASSES - 1, size=k)
+                )
+                labels[i] = vec
+        yield {
+            "proimages": images,
+            "prolabels": labels,
+            "imageids": [f"synthetic_{kind}"] * n,
+        }

@@ -74,6 +74,7 @@ class HierarchicalSegmentationModel(nn.Module):
 
     taxonomy: Taxonomy
     stride_feature_extractor: int = 8
+    resnet_blocks: Optional[tuple] = None  # None = ResNet-50; tests use tiny stacks
     feature_dims_decreased: int = 256
     fov_expansion_kernel_size: int = 0
     fov_expansion_kernel_rate: int = 0
@@ -102,7 +103,10 @@ class HierarchicalSegmentationModel(nn.Module):
         x = images.astype(self.dtype)
 
         # --- feature extractor: base + extension (feature_extractor/*) ---
+        from iv2019_tpu.models.resnet import RESNET50_BLOCKS
+
         x, end_points = ResNetV1(
+            blocks=self.resnet_blocks or RESNET50_BLOCKS,
             output_stride=self.stride_feature_extractor,
             norm_type=self.norm_type,
             momentum=self.batch_norm_decay,

@@ -1,0 +1,235 @@
+"""SemanticSegmentation system orchestrator — the public API.
+
+TPU-native counterpart of reference system_factory.py:27-461 with the same
+surface: ``SemanticSegmentation(input_fns, model_fn, settings)`` exposing
+``.train()``, ``.evaluate()``, ``.predict()`` and ``.settings``. Instead of
+assembling a TF Estimator graph per mode, each method builds a jitted XLA
+program over a device mesh (train/step.py) and drives it with a prefetched
+host pipeline.
+
+Responsibilities kept from the reference:
+- problem-definition loading + derived cid maps + output_Nclasses
+  (system_factory.py:79-157)
+- epoch/step math and LR-boundary conversion (delegated to
+  Settings.finalize(); system_factory.py:197-233)
+- eval-dir numbering ``eval_NN`` (:164-172), settings.txt persistence with
+  overwrite refusal (:252-261), code zip snapshot (train.py:38)
+- evaluate over one/all checkpoints with void row/col trim (:378-410)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime
+from os.path import exists, isdir, join, split
+from typing import Any, Callable, Iterator, Mapping, Optional
+
+import jax
+import numpy as np
+
+from iv2019_tpu.config import Settings
+from iv2019_tpu.models.model import build_model
+from iv2019_tpu.parallel.mesh import create_mesh
+from iv2019_tpu.problem.problem_def import ProblemDef, load_problem_def
+from iv2019_tpu.train.optimizer import make_optimizer
+from iv2019_tpu.train.state import create_train_state
+from iv2019_tpu.train.step import make_eval_step, make_predict_step
+from iv2019_tpu.utils.checkpoint import CheckpointManager
+from iv2019_tpu.utils.metrics import print_metrics_from_confusion_matrix
+from iv2019_tpu.utils.util_zip import zipit
+
+__all__ = ["SemanticSegmentation"]
+
+
+class SemanticSegmentation:
+    """A semantic-segmentation system over TPU devices.
+
+    Args:
+      input_fns: dict with optional 'train' / 'eval' / 'predict' callables,
+        each ``f(settings, problem_def) -> iterator`` of host batches (the
+        pipelines in iv2019_tpu.input are drop-in values).
+      model_fn: optional callable ``f(settings) -> flax Module``; defaults to
+        models.model.build_model.
+      settings: a Settings instance (CLI parity via config.build_argparser).
+    """
+
+    def __init__(
+        self,
+        input_fns: Mapping[str, Callable],
+        model_fn: Optional[Callable] = None,
+        settings: Optional[Settings] = None,
+    ):
+        assert settings is not None, "settings must be provided."
+        self._input_fns = dict(input_fns)
+        self._model_fn = model_fn or build_model
+
+        # problem definitions (training required; inference/evaluation optional)
+        self.training_problem_def = load_problem_def(settings.training_problem_def_path)
+        self.inference_problem_def = (
+            load_problem_def(settings.inference_problem_def_path)
+            if settings.inference_problem_def_path
+            else self.training_problem_def
+        )
+        self.evaluation_problem_def = (
+            load_problem_def(settings.evaluation_problem_def_path)
+            if settings.evaluation_problem_def_path
+            else self.training_problem_def
+        )
+
+        self.output_Nclasses = self.training_problem_def.output_num_classes(
+            settings.train_void_class
+        )
+        self.training_cids2inference_cids = (
+            self.inference_problem_def.training_cids2inference_cids
+            if self.inference_problem_def.training_cids2inference_cids is not None
+            else self.training_problem_def.inference_cids_map(settings.train_void_class)
+        )
+        self.training_cids2evaluation_cids = (
+            self.evaluation_problem_def.training_cids2evaluation_cids
+            if self.evaluation_problem_def.training_cids2evaluation_cids is not None
+            else self.training_problem_def.evaluation_cids_map(settings.train_void_class)
+        )
+
+        self._settings = settings.finalize()
+        self._mesh = None
+
+        # eval-dir numbering eval_NN (system_factory.py:164-172)
+        existing = list(
+            filter(isdir, glob.glob(join(self._settings.log_dir, "eval_*")))
+        )
+        max_cnt = max((int(split(d)[1][-2:]) for d in existing), default=-1)
+        self.eval_res_dir = join(self._settings.log_dir, f"eval_{max_cnt + 1:02}")
+
+    @property
+    def settings(self) -> Settings:
+        return self._settings
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            self._mesh = create_mesh(self._settings.num_devices)
+        return self._mesh
+
+    # -- train -------------------------------------------------------------
+
+    def train(self):
+        s = self._settings
+        os.makedirs(s.log_dir, exist_ok=True)
+
+        settings_path = join(s.log_dir, "settings.txt")
+        assert not exists(settings_path), (
+            f"Previous settings.txt found in {s.log_dir}. Rename or delete it "
+            "manually and restart training."
+        )
+        s.dump(settings_path)
+
+        # code snapshot (reference train.py:38)
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        zipit(pkg_root, join(s.log_dir, "all_code.zip"))
+
+        from iv2019_tpu.train.loop import train as run_train
+
+        batches = self._input_fns["train"](s, self.training_problem_def)
+        model = self._model_fn(s.replace(mode="train"))
+        return run_train(s, batches, model=model, mesh=self.mesh)
+
+    # -- predict -----------------------------------------------------------
+
+    def predict(self) -> Iterator[dict]:
+        """Yields one numpy predictions dict per image (un-batched), matching
+        the reference Estimator.predict generator contract."""
+        s = self._settings
+        model = self._model_fn(s.replace(mode="predict"))
+        params, batch_stats = self._restore_variables(model)
+        predict_fn = make_predict_step(s, model=model)
+
+        for features in self._input_fns["predict"](s, self.inference_problem_def):
+            out = predict_fn(params, batch_stats, features["proimages"])
+            out = jax.device_get(out)
+            n = out["decisions"].shape[0]
+            for i in range(n):
+                item = {k: v[i] for k, v in out.items()}
+                if "rawimages" in features:
+                    item["rawimages"] = features["rawimages"]
+                if "rawimagespaths" in features:
+                    item["rawimagespaths"] = features["rawimagespaths"]
+                yield item
+
+    # -- evaluate ----------------------------------------------------------
+
+    def evaluate(self) -> list[dict]:
+        s = self._settings
+        os.makedirs(self.eval_res_dir, exist_ok=True)
+        s.dump(join(self.eval_res_dir, "settings.txt"))
+
+        model = self._model_fn(s.replace(mode="eval"))
+        eval_fn = make_eval_step(
+            s, model=model, tcids2ecids=self.training_cids2evaluation_cids
+        )
+
+        labels = list(self.evaluation_problem_def.cids2labels)
+        void_exists = -1 in self.evaluation_problem_def.lids2cids
+        if void_exists and not s.train_void_class:
+            labels = labels[:-1]
+
+        ckpt_steps = self._checkpoint_steps()
+        all_metrics = []
+        for step in ckpt_steps:
+            params, batch_stats = self._restore_variables(model, step=step)
+            cm = None
+            for batch in self._input_fns["eval"](s, self.evaluation_problem_def):
+                bcm = eval_fn(params, batch_stats, batch["proimages"], batch["prolabels"])
+                cm = bcm if cm is None else cm + bcm
+            cm = np.asarray(jax.device_get(cm)).astype(np.int64)
+            # void row/col trim (system_factory.py:399-405)
+            if void_exists and not s.train_void_class:
+                cm = cm[:-1, :-1]
+            metrics = {"global_step": step, "confusion_matrix": cm}
+            m = print_metrics_from_confusion_matrix(cm, labels, printcmd=True)
+            metrics.update(m)
+            all_metrics.append(metrics)
+        return all_metrics
+
+    # -- internals ---------------------------------------------------------
+
+    def _checkpoint_steps(self) -> list[Optional[int]]:
+        s = self._settings
+        ckpt = CheckpointManager(s.log_dir)
+        if s.eval_all_ckpts:
+            steps = ckpt.all_steps()
+            print(f"\n{len(steps)} checkpoint(s) will be evaluated.\n")
+            return steps
+        if s.ckpt_path is not None:
+            # accept either a step number or a path ending in one
+            try:
+                return [int(s.ckpt_path)]
+            except ValueError:
+                return [int(os.path.basename(s.ckpt_path.rstrip("/")))]
+        return [ckpt.latest_step()]
+
+    def _restore_variables(self, model, step: Optional[int] = None):
+        """Load params/batch_stats from the latest (or given) checkpoint;
+        honors --restore_emas via the zero-debiased EMA shadow."""
+        s = self._settings
+        ckpt = CheckpointManager(s.log_dir)
+        tx, _ = make_optimizer(
+            s.replace(
+                learning_rate_values=(0.0,),
+                learning_rate_boundaries_steps=(),
+                learning_rate_values_resolved=(0.0,),
+            )
+        )
+        # build an abstract template state from a tiny init
+        import jax.numpy as jnp
+
+        shape = (1, s.height_feature_extractor, s.width_feature_extractor, 3)
+        variables = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32))
+        )()
+        template = create_train_state(variables, tx, s.ema_decay)
+        state = ckpt.restore(step, template=template)
+        params = state.params
+        if s.restore_emas and state.ema is not None:
+            params = state.ema.debiased(fallback=state.params)
+        return params, state.batch_stats

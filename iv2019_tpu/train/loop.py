@@ -1,0 +1,155 @@
+"""Training loop: prefetched sharded batches -> jitted step -> checkpoints,
+metric logs and profiler traces.
+
+The JAX analog of the reference's MonitoredSession hot loop
+(system_factory.py:300-302) plus its auxiliary subsystems:
+
+- checkpoint each epoch + resume from latest (Estimator behavior,
+  SURVEY.md §5.3-5.4)
+- ImageNet warm start when ``init_ckpt_path`` is set and log_dir is empty
+  (mutual exclusion guard, reference system_factory.py:438-445)
+- scalar "summaries": JSONL always; TensorBoard via torch SummaryWriter if
+  available (replaces reference _define_summaries scalars)
+- periodic ``jax.profiler`` device traces (replaces _RunMetadataHook's
+  Chrome traces, reference define_estimator_hierarchical.py:408-474)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from iv2019_tpu.config import Settings
+from iv2019_tpu.input.prefetch import device_prefetch
+from iv2019_tpu.parallel.mesh import create_mesh, replicate
+from iv2019_tpu.train.optimizer import make_learning_rate_fn, make_optimizer
+from iv2019_tpu.train.state import TrainState, create_train_state
+from iv2019_tpu.train.step import make_train_step
+from iv2019_tpu.utils.checkpoint import CheckpointManager, warm_start_from_npz
+
+__all__ = ["MetricsLogger", "train"]
+
+
+class MetricsLogger:
+    """Scalar metrics to JSONL (+ TensorBoard when torch is importable)."""
+
+    def __init__(self, log_dir: str, name: str = "train_metrics"):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: dict) -> None:
+        record = {"step": int(step)}
+        for k, v in metrics.items():
+            record[k] = float(v)
+            if self._tb is not None:
+                self._tb.add_scalar(k, float(v), int(step))
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def train(
+    settings: Settings,
+    batch_iterator: Iterator[dict],
+    model=None,
+    init_variables: Optional[dict] = None,
+    mesh=None,
+    log_every: int = 20,
+    profile_steps: Optional[tuple[int, int]] = None,
+    max_steps: Optional[int] = None,
+) -> TrainState:
+    """Run training to settings.num_training_steps; returns the final state."""
+    mesh = mesh or create_mesh(settings.num_devices)
+    tx, lr_fn = make_optimizer(settings)
+    model_settings = settings.replace(mode="train")
+
+    if init_variables is None:
+        from iv2019_tpu.models.model import build_model
+
+        model = model or build_model(model_settings)
+        shape = (
+            settings.Nb_per_pixel + settings.Nb_per_bbox + settings.Nb_per_image,
+            settings.height_feature_extractor,
+            settings.width_feature_extractor,
+            3,
+        )
+        init_variables = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), np.zeros(shape, np.float32))
+        )()
+
+    ckpt = CheckpointManager(settings.log_dir)
+    state = create_train_state(init_variables, tx, settings.ema_decay)
+
+    latest = ckpt.latest_step()
+    if latest is not None:
+        if settings.init_ckpt_path:
+            raise ValueError(
+                "If init_ckpt_path is given log_dir must be empty of "
+                "checkpoints; resume and warm start are mutually exclusive."
+            )
+        state = ckpt.restore(latest, template=state)
+    elif settings.init_ckpt_path:
+        params, batch_stats, n = warm_start_from_npz(
+            state.params, state.batch_stats, settings.init_ckpt_path
+        )
+        print(f"warm start: restored {n} backbone arrays from "
+              f"{settings.init_ckpt_path}")
+        state = state.replace(params=params, batch_stats=batch_stats)
+
+    state = replicate(state, mesh)
+    step_fn = make_train_step(settings, model=model, tx=tx)
+
+    logger = MetricsLogger(settings.log_dir)
+    num_steps = max_steps or settings.num_training_steps
+    save_every = settings.save_checkpoints_steps or max(num_steps, 1)
+
+    start_step = int(state.step)
+    t_last = time.time()
+    imgs_per_batch = (
+        settings.Nb_per_pixel + settings.Nb_per_bbox + settings.Nb_per_image
+    )
+
+    for batch in device_prefetch(batch_iterator, mesh):
+        step = int(state.step)
+        if step >= num_steps:
+            break
+        if profile_steps and step == profile_steps[0]:
+            jax.profiler.start_trace(os.path.join(settings.log_dir, "profile"))
+        state, metrics = step_fn(state, {
+            k: v for k, v in batch.items() if not isinstance(v, list)
+        })
+        step += 1
+        if profile_steps and step == profile_steps[1]:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+        if step % log_every == 0 or step == num_steps:
+            metrics = jax.device_get(metrics)
+            now = time.time()
+            ips = log_every * imgs_per_batch / max(now - t_last, 1e-9)
+            t_last = now
+            metrics["learning_rate"] = float(lr_fn(np.asarray(step)))
+            metrics["images_per_sec"] = ips
+            logger.log(step, metrics)
+        if step % save_every == 0 or step == num_steps:
+            ckpt.save(step, jax.device_get(state))
+            t_last = time.time()  # don't count ckpt time in throughput
+
+    logger.close()
+    ckpt.close()
+    return state

@@ -1,0 +1,227 @@
+"""Jitted train / eval / predict step builders.
+
+One traced+compiled XLA program per mode (the JAX analog of the reference's
+mode-switched graph assembly, define_estimator_hierarchical.py:39-239):
+
+- train_step: forward (mixed [pp|pb|pi] batch) -> hierarchical losses + L2
+  reg -> grads -> SGDM update -> EMA update -> batch mIoU metric. Donated
+  train state; batch sharded over the mesh 'data' axis, parameters
+  replicated. XLA SPMD inserts the gradient all-reduce and makes BatchNorm
+  statistics global-batch (sync-BN) automatically.
+- eval_step: forward -> training->evaluation cid remap (probability
+  summation) -> optional void replacement -> NN resize to label size ->
+  batch confusion matrix (accumulated on device across steps).
+- predict_step: forward -> selected heads resized to the requested output.
+
+The images of the three supervision types are concatenated *inside* jit so
+that each sub-batch stays evenly sharded on its own leading axis — the
+per-device view is [pp_local | pb_local | pi_local], exactly the reference's
+per-tower layout (get_temp_Nb contract).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from iv2019_tpu.config import Settings
+from iv2019_tpu.losses.hierarchical import define_losses, l2_regularization
+from iv2019_tpu.models.model import HierarchicalSegmentationModel, build_model
+from iv2019_tpu.ops.confusion import batch_mean_iou, confusion_matrix
+from iv2019_tpu.ops.resize import resize_bilinear, resize_nearest
+from iv2019_tpu.ops.segment_ops import gather_cids, remap_probabilities
+from iv2019_tpu.problem.problem_def import replace_voids
+from iv2019_tpu.problem.taxonomy import get_taxonomy
+from iv2019_tpu.train.optimizer import make_optimizer
+from iv2019_tpu.train.state import TrainState
+
+__all__ = ["make_train_step", "make_eval_step", "make_predict_step", "forward"]
+
+
+def forward(model, params, batch_stats, images, train: bool):
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        preds, mutated = model.apply(variables, images, mutable=["batch_stats"])
+        return preds, mutated["batch_stats"]
+    preds = model.apply(variables, images)
+    return preds, batch_stats
+
+
+def make_train_step(settings: Settings, model=None, tx=None) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics), jit-compiled.
+
+    batch: dict with 'proimages_per_pixel' (Npp,H,W,3), 'proimages_per_bbox',
+    'proimages_per_image', 'prolabels_per_pixel' (int32), 'prolabels_per_bbox'
+    / 'prolabels_per_image' ((N,H,W,15) f32).
+    """
+    model = model or build_model(settings.replace(mode="train"))
+    if tx is None:
+        tx, _ = make_optimizer(settings)
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    reg_weight = settings.regularization_weight
+    ema_decay = settings.ema_decay
+    # output_Nclasses equals the common fused label space for these problems
+    num_classes = tax.num_common_classes
+
+    def train_step(state: TrainState, batch: Mapping[str, Any]):
+        images = jnp.concatenate(
+            [
+                batch["proimages_per_pixel"],
+                batch["proimages_per_bbox"],
+                batch["proimages_per_image"],
+            ],
+            axis=0,
+        )
+        labels = {
+            "prolabels_per_pixel": batch["prolabels_per_pixel"],
+            "prolabels_per_bbox": batch["prolabels_per_bbox"],
+            "prolabels_per_image": batch["prolabels_per_image"],
+        }
+        n_pp = batch["prolabels_per_pixel"].shape[0]
+
+        def loss_fn(params):
+            preds, new_batch_stats = forward(model, params, state.batch_stats, images, True)
+            losses = define_losses(preds, labels, tax)
+            reg = l2_regularization(params, reg_weight)
+            total = losses["total"] + reg
+            return total, (losses, reg, new_batch_stats, preds)
+
+        (total, (losses, reg, new_batch_stats, preds)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        new_state = state.replace(batch_stats=new_batch_stats).apply_gradients(
+            grads, tx, ema_decay
+        )
+
+        # online batch mIoU on the per-pixel slice (reference define_metrics)
+        miou = batch_mean_iou(
+            labels["prolabels_per_pixel"], preds["decisions"][:n_pp], num_classes
+        )
+        metrics = {
+            "total": total,
+            "l1_segmentation": losses["l1_segmentation"],
+            "l2_vehicle_segmentation": losses["l2_vehicle_segmentation"],
+            "l2_human_segmentation": losses["l2_human_segmentation"],
+            "regularization": reg,
+            "miou": miou,
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(settings: Settings, model=None, tcids2ecids=None) -> Callable:
+    """Returns eval_step(params, batch_stats, images, prolabels) -> (K', K') cm.
+
+    Implements the EVAL graph of the reference
+    (define_estimator_hierarchical.py:161-194): training->evaluation cid remap
+    via probability summation, optional top-2 void replacement, NN resize of
+    decisions to label size, then the batch confusion matrix.
+    """
+    settings = settings.replace(mode="eval")
+    model = model or build_model(settings)
+    if tcids2ecids is None:
+        tcids2ecids = settings_eval_map(settings)
+    tcids2ecids = replace_voids(list(tcids2ecids))
+    num_eval_classes = max(tcids2ecids) + 1
+    do_replace_voids = settings.replace_voids
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    # L1 probabilities live in the L1 head space; compose L1 -> common ->
+    # eval so the probability remap is consistent with the fused decisions.
+    # (The reference's probs remap silently no-ops for the hierarchical
+    # model — unsorted_segment_sum shape mismatch swallowed at
+    # define_estimator_hierarchical.py:516-522; we do it properly.)
+    l1_cids2ecids = [tcids2ecids[c] for c in tax.l1_cids2common_cids]
+
+    def eval_step(params, batch_stats, images, prolabels):
+        preds, _ = forward(model, params, batch_stats, images, False)
+        decs = gather_cids(tcids2ecids, preds["decisions"])
+        if do_replace_voids:
+            l1_probs = remap_probabilities(preds["l1_probabilities"], l1_cids2ecids)
+            pad = num_eval_classes - l1_probs.shape[-1]
+            if pad > 0:
+                l1_probs = jnp.pad(l1_probs, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            decs = _replace_void_decisions(l1_probs, decs)
+        label_hw = prolabels.shape[1:3]
+        decs = resize_nearest(decs, label_hw, align_corners=True)
+        return confusion_matrix(prolabels, decs, num_eval_classes)
+
+    return jax.jit(eval_step)
+
+
+def settings_eval_map(settings: Settings):
+    """training_cids2evaluation_cids from settings/problem defs."""
+    from iv2019_tpu.problem.problem_def import load_problem_def
+
+    train_pd = load_problem_def(settings.training_problem_def_path)
+    if settings.evaluation_problem_def_path:
+        eval_pd = load_problem_def(settings.evaluation_problem_def_path)
+        if eval_pd.training_cids2evaluation_cids is not None:
+            return list(eval_pd.training_cids2evaluation_cids)
+    return train_pd.evaluation_cids_map(settings.train_void_class)
+
+
+def _replace_void_decisions(probs, decs):
+    """Top-2 void replacement (reference _replace_voids, :573-630).
+
+    Where the decision equals the void class (the last channel of ``probs``)
+    take the second-most-probable class instead. ``probs`` must live in the
+    same label space as ``decs`` (the reference applies this after the eval
+    cid remap; in predict mode we do the same, which fixes a latent label-
+    space inconsistency of the reference's predict path).
+    """
+    top2 = jax.lax.top_k(probs, 2)[1]
+    void_mask = decs == probs.shape[-1] - 1
+    return jnp.where(void_mask, top2[..., 1], top2[..., 0]).astype(jnp.int32)
+
+
+def make_predict_step(
+    settings: Settings, output_size: Optional[tuple[int, int]] = None, model=None
+) -> Callable:
+    """Returns predict_step(params, batch_stats, images) -> predictions dict.
+
+    Mirrors the PREDICT graph (define_estimator_hierarchical.py:204-237):
+    select the 4 supported heads, resize to the system size (or the given
+    output_size), optional void replacement. Output resize uses
+    align_corners=True as the reference does.
+    """
+    settings = settings.replace(mode="predict")
+    model = model or build_model(settings)
+    if output_size is None and settings.height_system and settings.width_system:
+        output_size = (settings.height_system, settings.width_system)
+    do_replace_voids = settings.replace_voids
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+
+    def predict_step(params, batch_stats, images):
+        preds, _ = forward(model, params, batch_stats, images, False)
+        out = {
+            "l1_probabilities": preds["l1_probabilities"],
+            "l2_vehicle_probabilities": preds["l2_vehicle_probabilities"],
+            "l2_human_probabilities": preds["l2_human_probabilities"],
+            "decisions": preds["decisions"],
+        }
+        if output_size is not None:
+            for k in ("l1_probabilities", "l2_vehicle_probabilities", "l2_human_probabilities"):
+                out[k] = resize_bilinear(out[k], output_size, align_corners=True)
+            out["decisions"] = resize_nearest(
+                out["decisions"], output_size, align_corners=True
+            )
+        if do_replace_voids:
+            # project L1 probabilities into the common space so the top-2
+            # lookup is consistent with the fused decisions' label space
+            common_probs = remap_probabilities(
+                out["l1_probabilities"], tax.l1_cids2common_cids
+            )
+            pad = tax.num_common_classes - common_probs.shape[-1]
+            if pad > 0:
+                common_probs = jnp.pad(
+                    common_probs, ((0, 0), (0, 0), (0, 0), (0, pad))
+                )
+            out["decisions"] = _replace_void_decisions(common_probs, out["decisions"])
+        return out
+
+    return jax.jit(predict_step)

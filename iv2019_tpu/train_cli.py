@@ -1,0 +1,61 @@
+"""Training entry point (reference code/train.py parity).
+
+Usage:
+  python -m iv2019_tpu.train_cli LOG_DIR {cityscapes,vistas} [flags]
+
+Hard-coded per-dataset extras follow reference train.py:42-68.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from iv2019_tpu.config import TRAIN, build_argparser, settings_from_args
+from iv2019_tpu.input.heterogeneous import train_input
+from iv2019_tpu.system import SemanticSegmentation
+
+_PKG = os.path.dirname(os.path.abspath(__file__))
+
+
+def _add_extra_args(settings):
+    """Per-dataset constants (reference train.py:42-68)."""
+    extra = {}
+    if settings.per_pixel_dataset_name == "vistas":
+        extra.update(
+            Ntrain=settings.Ntrain if settings.Ntrain != 2975 else 18000,
+            height_feature_extractor=621
+            if settings.height_feature_extractor == 512
+            else settings.height_feature_extractor,
+            width_feature_extractor=855
+            if settings.width_feature_extractor == 1024
+            else settings.width_feature_extractor,
+        )
+    if not settings.training_problem_def_path:
+        extra["training_problem_def_path"] = os.path.join(
+            _PKG, "problem_definitions", settings.per_pixel_dataset_name, "problem01.json"
+        )
+    extra.update(
+        Nb_per_pixel=4,
+        Nb_per_bbox=8,
+        Nb_per_image=4,
+        Nb=4,
+        preserve_aspect_ratio_per_pixel=False,
+        preserve_aspect_ratio_per_bbox=True,
+        preserve_aspect_ratio_per_image=True,
+        norm_train_variables=True,
+        batch_norm_accumulate_statistics=True,
+    )
+    return settings.replace(**extra)
+
+
+def main(argv):
+    args = build_argparser(TRAIN).parse_args(argv)
+    settings = settings_from_args(args, TRAIN)
+    settings = _add_extra_args(settings)
+    system = SemanticSegmentation({"train": train_input}, settings=settings)
+    return system.train()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
