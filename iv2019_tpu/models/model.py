@@ -28,7 +28,7 @@ from flax import linen as nn
 from iv2019_tpu.config import Settings
 from iv2019_tpu.models.layers import BottleneckV1, Norm, conv_norm_relu
 from iv2019_tpu.models.resnet import ResNetV1
-from iv2019_tpu.ops.resize import resize_bilinear
+from iv2019_tpu.ops.resize import resize_bilinear, resize_bilinear_mxu
 from iv2019_tpu.ops.segment_ops import gather_cids
 from iv2019_tpu.problem.taxonomy import Taxonomy, get_taxonomy
 
@@ -211,7 +211,9 @@ class HierarchicalSegmentationModel(nn.Module):
                 param_dtype=jnp.float32,
                 name=f"softmax_classifier/{name}/upsampling/conv_transpose",
             )(logits)
-        return resize_bilinear(logits.astype(jnp.float32), size, align_corners=True)
+        # matmul formulation: the x8 upsample runs on the MXU instead of
+        # serialized gathers (identical math to TF1 align_corners bilinear)
+        return resize_bilinear_mxu(logits.astype(jnp.float32), size, align_corners=True)
 
 
 def build_model(settings: Settings) -> HierarchicalSegmentationModel:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "resize_bilinear",
+    "resize_bilinear_mxu",
     "resize_nearest",
     "resize_images",
     "resize_labels",
@@ -102,6 +103,45 @@ def resize_bilinear(images, size: Sequence[int], align_corners: bool = False):
     wy = y_frac.reshape(1, out_h, 1, 1)
     out = top + (bot - top) * wy
     return out[0] if squeeze else out
+
+
+def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out, in) dense interpolation matrix with <=2 nonzeros per row."""
+    lo, hi, frac = _bilinear_tables(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - frac)
+    np.add.at(m, (rows, hi), frac)
+    return m
+
+
+def resize_bilinear_mxu(images, size: Sequence[int], align_corners: bool = False):
+    """TF1-exact bilinear resize as two MXU matmuls (NHWC, jnp only).
+
+    Mathematically identical to :func:`resize_bilinear` but formulated as
+    contractions with trace-time-constant interpolation matrices, which XLA
+    maps onto the systolic array instead of serializing gathers — the fast
+    path for the in-model x8 logit upsampler. f32 accumulation.
+    """
+    n, in_h, in_w, c = images.shape
+    out_h, out_w = int(size[0]), int(size[1])
+    if (in_h, in_w) == (out_h, out_w):
+        return images.astype(jnp.float32)
+    wh = jnp.asarray(_bilinear_matrix(in_h, out_h, align_corners))
+    ww = jnp.asarray(_bilinear_matrix(in_w, out_w, align_corners))
+    x = images.astype(jnp.float32)
+    # W axis first (cheaper at the small H), then H axis
+    # (n, h, w, c) x (out_w, w) -> (n, h, c, out_w)
+    x = jax.lax.dot_general(
+        x, ww, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (n, h, c, out_w)
+    # (n, h, c, out_w) x (out_h, h) -> (n, c, out_w, out_h)
+    x = jax.lax.dot_general(
+        x, wh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (n, c, out_w, out_h)
+    return jnp.transpose(x, (0, 3, 2, 1))
 
 
 def resize_nearest(features, size: Sequence[int], align_corners: bool = False):

@@ -113,7 +113,7 @@ class SemanticSegmentation:
 
     # -- train -------------------------------------------------------------
 
-    def train(self):
+    def train(self, max_steps: Optional[int] = None, log_every: int = 20):
         s = self._settings
         os.makedirs(s.log_dir, exist_ok=True)
 
@@ -132,7 +132,10 @@ class SemanticSegmentation:
 
         batches = self._input_fns["train"](s, self.training_problem_def)
         model = self._model_fn(s.replace(mode="train"))
-        return run_train(s, batches, model=model, mesh=self.mesh)
+        return run_train(
+            s, batches, model=model, mesh=self.mesh,
+            max_steps=max_steps, log_every=log_every,
+        )
 
     # -- predict -----------------------------------------------------------
 

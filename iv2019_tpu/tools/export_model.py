@@ -1,0 +1,89 @@
+"""Model export tooling: jitted forward -> StableHLO / HLO artifacts.
+
+TPU-native counterpart of the reference's frozen-graph tooling
+(tools/pb2pbtxt.py and export_frozen_graph_saver, define_savers.py:68-69):
+instead of a TF GraphDef, the deployable artifact of a JAX model is its
+StableHLO module (portable, runnable by any XLA backend) plus the weights.
+
+Usage:
+  python -m iv2019_tpu.tools.export_model LOG_DIR PROBLEM_DEF OUT_DIR \
+      [--height 512 --width 1024]
+
+Writes:
+  OUT_DIR/forward.stablehlo.mlir   — portable StableHLO text
+  OUT_DIR/forward.hlo.txt          — optimized HLO (debug/inspection)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def export_stablehlo(model, variables, input_shape, out_dir: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def forward(images):
+        preds = model.apply(variables, images)
+        return preds["decisions"], preds["l1_probabilities"]
+
+    lowered = jax.jit(forward).lower(
+        jax.ShapeDtypeStruct(input_shape, jnp.float32)
+    )
+    paths = {}
+    shlo_path = os.path.join(out_dir, "forward.stablehlo.mlir")
+    with open(shlo_path, "w") as f:
+        f.write(lowered.as_text())
+    paths["stablehlo"] = shlo_path
+    try:
+        compiled = lowered.compile()
+        hlo_path = os.path.join(out_dir, "forward.hlo.txt")
+        with open(hlo_path, "w") as f:
+            f.write(compiled.as_text())
+        paths["hlo"] = hlo_path
+    except Exception as e:  # compile may fail off-accelerator; export still useful
+        paths["hlo_error"] = str(e)
+    return paths
+
+
+def main(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("log_dir")
+    p.add_argument("training_problem_def_path")
+    p.add_argument("out_dir")
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--restore_emas", action="store_true")
+    args = p.parse_args(argv)
+
+    from iv2019_tpu.config import Settings
+    from iv2019_tpu.models.model import build_model
+    from iv2019_tpu.system import SemanticSegmentation
+
+    settings = Settings(
+        mode="predict",
+        log_dir=args.log_dir,
+        training_problem_def_path=args.training_problem_def_path,
+        height_feature_extractor=args.height,
+        width_feature_extractor=args.width,
+        restore_emas=args.restore_emas,
+    )
+    system = SemanticSegmentation({}, settings=settings)
+    model = build_model(system.settings.replace(mode="predict"))
+    params, batch_stats = system._restore_variables(model)
+    paths = export_stablehlo(
+        model,
+        {"params": params, "batch_stats": batch_stats},
+        (1, args.height, args.width, 3),
+        args.out_dir,
+    )
+    print(paths)
+    return paths
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

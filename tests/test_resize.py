@@ -10,7 +10,11 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from iv2019_tpu.ops.resize import resize_bilinear, resize_nearest
+from iv2019_tpu.ops.resize import (
+    resize_bilinear,
+    resize_bilinear_mxu,
+    resize_nearest,
+)
 
 
 def _ref_bilinear_1d(row, out_w, align_corners):
@@ -87,6 +91,15 @@ def test_nearest_4d_multinomial_labels():
     assert out.shape == (2, 8, 12, 15)
     # each output pixel is an exact copy of some input pixel's distribution
     np.testing.assert_allclose(out[:, 0, 0], lab[:, 0, 0])
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("in_hw,out_hw", [((4, 8), (32, 64)), ((7, 13), (5, 9))])
+def test_mxu_matmul_path_matches_gather_path(align, in_hw, out_hw):
+    img = np.random.RandomState(7).rand(3, *in_hw, 6).astype(np.float32)
+    a = np.asarray(resize_bilinear(jnp.asarray(img), out_hw, align))
+    b = np.asarray(resize_bilinear_mxu(jnp.asarray(img), out_hw, align))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def test_numpy_input_path():

@@ -48,17 +48,7 @@ def trained_system(tmp_path):
         settings=settings,
     )
     # cap to 2 steps for test speed
-    from iv2019_tpu.train import loop as loop_mod
-
-    batches = hetero_train_input(system.settings, system.training_problem_def)
-    loop_mod.train(
-        system.settings,
-        batches,
-        model=model_fn(system.settings.replace(mode="train")),
-        mesh=system.mesh,
-        max_steps=2,
-        log_every=1,
-    )
+    system.train(max_steps=2, log_every=1)
     return system
 
 
