@@ -103,15 +103,16 @@ def main(steps: int = 20, warmup: int = 3):
     imgs = npp + npb + npi
     n_chips = max(jax.local_device_count(), 1)
 
-    # warmup
+    # warmup; scalar host readback is the reliable completion barrier on the
+    # tunneled device (block_until_ready may return before execution ends)
     for _ in range(warmup):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(state.params)
+    float(metrics["total"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(state.params)
+    float(metrics["total"])  # device queue is serial: last done => all done
     dt = time.perf_counter() - t0
 
     ips_per_chip = steps * imgs / dt / n_chips
@@ -140,6 +141,54 @@ def main(steps: int = 20, warmup: int = 3):
     }))
 
 
+def predict_latency(samples: int = 30, warmup: int = 3):
+    """Secondary benchmark: single-image predict p50 latency (BASELINE.md).
+
+    Run with ``python bench.py predict``; prints its own JSON line.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from iv2019_tpu.config import Settings
+    from iv2019_tpu.models.model import build_model
+    from iv2019_tpu.train.step import make_predict_step
+
+    h, w = 512, 1024
+    settings = Settings(
+        per_pixel_dataset_name="cityscapes", mode="predict",
+        height_feature_extractor=h, width_feature_extractor=w,
+    )
+    model = build_model(settings)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32)
+    )
+    predict_fn = make_predict_step(settings, output_size=(1024, 2048), model=model)
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+
+    lat = []
+    for i in range(warmup + samples):
+        t0 = time.perf_counter()
+        out = predict_fn(variables["params"], variables["batch_stats"], image)
+        int(out["decisions"][0, 0, 0])  # host readback completion barrier
+        if i >= warmup:
+            lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(x * 1e3 for x in lat)
+    p50 = lat_ms[len(lat_ms) // 2]
+    p90 = lat_ms[int(len(lat_ms) * 0.9)]
+    print(json.dumps({
+        "metric": "predict_p50_latency_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "detail": {"p90_ms": round(p90, 2), "n": samples,
+                   "input_hw": [h, w], "output_hw": [1024, 2048]},
+    }))
+
+
 if __name__ == "__main__":
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    main(steps=steps)
+    if len(sys.argv) > 1 and sys.argv[1] == "predict":
+        predict_latency()
+    else:
+        steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+        main(steps=steps)

@@ -29,6 +29,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Sequence
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 

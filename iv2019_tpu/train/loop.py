@@ -58,6 +58,15 @@ class MetricsLogger:
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
 
+    def log_images(self, step: int, images: dict) -> None:
+        """HWC uint8 image summaries (decisions/labels colorizations),
+        the counterpart of the reference's tf.summary.image drawing section
+        (define_estimator_hierarchical.py:317-378)."""
+        if self._tb is None:
+            return
+        for k, v in images.items():
+            self._tb.add_image(k, np.asarray(v), int(step), dataformats="HWC")
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:
