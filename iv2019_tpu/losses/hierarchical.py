@@ -30,7 +30,7 @@ from typing import Any, Mapping
 import jax
 import jax.numpy as jnp
 
-from iv2019_tpu.ops.segment_ops import segment_sum_channels
+from iv2019_tpu.ops.segment_ops import gather_cids, segment_sum_channels
 from iv2019_tpu.problem.taxonomy import Taxonomy
 
 __all__ = ["define_losses", "l2_regularization", "weighted_loss"]
@@ -48,10 +48,16 @@ def weighted_loss(raw_loss, weights):
 
 
 def _sparse_softmax_ce(logits, labels):
-    """Per-pixel sparse CE; labels must be valid indices (mask separately)."""
+    """Per-pixel sparse CE; labels must be valid indices (mask separately).
+
+    Formulated as a one-hot multiply-reduce rather than take_along_axis:
+    per-pixel channel gathers serialize on TPU (profiled ~34 ms/step) while
+    the compare+select form fuses into the log_softmax pass.
+    """
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    return -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    one_hot = jax.nn.one_hot(labels, logits.shape[-1], dtype=log_probs.dtype)
+    return -jnp.sum(one_hot * log_probs, axis=-1)
 
 
 def _dense_softmax_ce(logits, labels):
@@ -108,7 +114,7 @@ def define_losses(
     l1_decisions = predictions["l1_decisions"]
 
     # --- L1: sparse CE on the per-pixel slice only --------------------------
-    l1_labels = jnp.take(jnp.asarray(tax.per_pixel_cids2l1_cids), pp, axis=0)
+    l1_labels = gather_cids(tax.per_pixel_cids2l1_cids, pp)
     l1_labels = jax.lax.stop_gradient(l1_labels)
     l1_raw = _sparse_softmax_ce(l1_logits[:n_pp], l1_labels)
     # void = max cid of the L1 table; weights keep labels <= max-1
@@ -125,7 +131,7 @@ def define_losses(
 
     # vehicle
     veh_pp = jax.nn.one_hot(
-        jnp.take(jnp.asarray(tax.per_pixel_cids2vehicle_cids), pp, axis=0),
+        gather_cids(tax.per_pixel_cids2vehicle_cids, pp),
         tax.num_vehicle_classes,
         dtype=jnp.float32,
     )
@@ -143,7 +149,7 @@ def define_losses(
 
     # human
     hum_pp = jax.nn.one_hot(
-        jnp.take(jnp.asarray(tax.per_pixel_cids2human_cids), pp, axis=0),
+        gather_cids(tax.per_pixel_cids2human_cids, pp),
         tax.num_human_classes,
         dtype=jnp.float32,
     )
