@@ -84,10 +84,17 @@ def main(steps: int = 20, warmup: int = 3):
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3), jnp.float32)
     )
-    tx, _ = make_optimizer(settings)
-    state = create_train_state(variables, tx, settings.ema_decay)
+    if settings.fused_optimizer:
+        from iv2019_tpu.train.fused_update import FusedSGDM
+        from iv2019_tpu.train.state import create_fused_train_state
 
-    step_fn = make_train_step(settings, model=model, tx=tx)
+        fused_opt = FusedSGDM(settings, variables["params"])
+        state = create_fused_train_state(variables, fused_opt)
+        step_fn = make_train_step(settings, model=model, fused_opt=fused_opt)
+    else:
+        tx, _ = make_optimizer(settings)
+        state = create_train_state(variables, tx, settings.ema_decay)
+        step_fn = make_train_step(settings, model=model, tx=tx)
 
     # compile + roofline estimate from XLA's own cost model
     lowered = jax.jit(

@@ -93,6 +93,12 @@ class Settings:
     # -- numerics / TPU ----------------------------------------------------
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype; params stay f32
     num_devices: Optional[int] = None  # None = all visible devices
+    # single fused flat-vector kernel for SGDM + weight decay + EMA instead of
+    # per-parameter update fusions (identical math; see train/fused_update.py)
+    fused_optimizer: bool = True
+    # run dilated backbone blocks as dense convs over phase-decomposed grids
+    # (identical results; TPU-friendly layout — see models/resnet.py)
+    dilation_mode: str = "space_to_batch"  # | "dilated"
 
     # -- inference / evaluation (utils.py:121-178) -------------------------
     ckpt_path: Optional[str] = None

@@ -80,6 +80,7 @@ class HierarchicalSegmentationModel(nn.Module):
     fov_expansion_kernel_rate: int = 0
     psp_module: bool = False
     upsampling_method: str = "bilinear"
+    dilation_mode: str = "space_to_batch"  # | "dilated" (identical results)
     norm_type: str = "batch"
     batch_norm_decay: float = 0.9
     accumulate_norm_statistics: bool = False  # True during training
@@ -111,6 +112,7 @@ class HierarchicalSegmentationModel(nn.Module):
             norm_type=self.norm_type,
             momentum=self.batch_norm_decay,
             use_running_average=not self.accumulate_norm_statistics,
+            dilation_mode=self.dilation_mode,
             dtype=self.dtype,
             name="feature_extractor/base",
         )(x)
@@ -166,12 +168,16 @@ class HierarchicalSegmentationModel(nn.Module):
         l2_human_logits = _head(l2_human_features, tax.num_human_classes, "l2_human_logits")
 
         # --- probabilities / decisions / fusion (f32) ---
+        # argmax over logits == argmax over softmax(logits); keeping decisions
+        # off the softmax lets XLA drop the full-res probability tensors
+        # entirely in the training step (they are only consumed by summaries
+        # and predict/eval outputs)
         l1_probs = nn.softmax(l1_logits, axis=3)
-        l1_decs = jnp.argmax(l1_probs, axis=3).astype(jnp.int32)
+        l1_decs = jnp.argmax(l1_logits, axis=3).astype(jnp.int32)
         l2_vehicle_probs = nn.softmax(l2_vehicle_logits, axis=3)
-        l2_vehicle_decs = jnp.argmax(l2_vehicle_probs, axis=3).astype(jnp.int32)
+        l2_vehicle_decs = jnp.argmax(l2_vehicle_logits, axis=3).astype(jnp.int32)
         l2_human_probs = nn.softmax(l2_human_logits, axis=3)
-        l2_human_decs = jnp.argmax(l2_human_probs, axis=3).astype(jnp.int32)
+        l2_human_decs = jnp.argmax(l2_human_logits, axis=3).astype(jnp.int32)
 
         decs = jnp.where(
             l1_decs == tax.cid_l1_vehicle,
@@ -226,6 +232,7 @@ def build_model(settings: Settings) -> HierarchicalSegmentationModel:
         fov_expansion_kernel_rate=settings.fov_expansion_kernel_rate,
         psp_module=settings.psp_module,
         upsampling_method=settings.upsampling_method,
+        dilation_mode=settings.dilation_mode,
         norm_type=settings.norm_layer,
         batch_norm_decay=settings.batch_norm_decay,
         accumulate_norm_statistics=(

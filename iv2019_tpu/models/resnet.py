@@ -78,14 +78,45 @@ def _max_pool_same(x, window: int = 3, stride: int = 2):
     )
 
 
+def _space_to_batch(x, f: int):
+    """(N, H, W, C) -> (f*f*N, H/f, W/f, C) phase decomposition.
+
+    A dense 3x3 conv on the phase grids equals a rate-f dilated conv on the
+    original grid (including the zero-padding semantics at borders), so the
+    dilated blocks of the backbone can run as dense convs — the layout TPUs
+    like. BatchNorm statistics are unchanged: the phased batch covers exactly
+    the same set of elements.
+    """
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    x = x.transpose(2, 4, 0, 1, 3, 5)
+    return x.reshape(f * f * n, h // f, w // f, c)
+
+
+def _batch_to_space(x, f: int):
+    """Inverse of _space_to_batch."""
+    nf, h, w, c = x.shape
+    n = nf // (f * f)
+    x = x.reshape(f, f, n, h, w, c)
+    x = x.transpose(2, 3, 0, 4, 1, 5)
+    return x.reshape(n, h * f, w * f, c)
+
+
 class ResNetV1(nn.Module):
-    """Fully-convolutional dilated ResNet-v1 (50-layer default)."""
+    """Fully-convolutional dilated ResNet-v1 (50-layer default).
+
+    ``dilation_mode='space_to_batch'`` (default) executes rate-r units as
+    dense convs over r^2 phase-shifted subgrids — numerically identical to
+    ``'dilated'`` (tested), typically much faster on TPU. Falls back to
+    dilated convs when the feature map isn't divisible by the rate.
+    """
 
     blocks: tuple[tuple[int, int, int], ...] = RESNET50_BLOCKS
     output_stride: int = 8
     norm_type: str = "batch"
     momentum: float = 0.9
     use_running_average: bool = True
+    dilation_mode: str = "space_to_batch"  # | "dilated"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -109,15 +140,37 @@ class ResNetV1(nn.Module):
 
         end_points = {"root": x}
         plan = _unit_plan(self.blocks, self.output_stride)
+        max_rate = max(u[3] for units in plan for u in units)
+        use_s2b = (
+            self.dilation_mode == "space_to_batch"
+            and max_rate > 1
+            and x.shape[1] % max_rate == 0
+            and x.shape[2] % max_rate == 0
+        )
+        applied = 1  # current phase-decomposition factor
+        factors = []  # s2b factor stack; inverted in reverse order at the end
         for bi, units in enumerate(plan):
             for ui, (depth, depth_bottleneck, stride, rate) in enumerate(units):
+                conv_rate = rate
+                if use_s2b:
+                    if rate != applied:
+                        # rates only ever grow along the network
+                        f = rate // applied
+                        x = _space_to_batch(x, f)
+                        factors.append(f)
+                        applied = rate
+                    conv_rate = 1
                 x = BottleneckV1(
                     depth=depth,
                     depth_bottleneck=depth_bottleneck,
                     stride=stride,
-                    rate=rate,
+                    rate=conv_rate,
                     name=f"block{bi + 1}/unit_{ui + 1}",
                     **kw,
                 )(x)
             end_points[f"block{bi + 1}"] = x
+        for f in reversed(factors):
+            x = _batch_to_space(x, f)
+        if factors:
+            end_points[f"block{len(plan)}"] = x
         return x, end_points

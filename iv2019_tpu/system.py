@@ -216,23 +216,34 @@ class SemanticSegmentation:
         honors --restore_emas via the zero-debiased EMA shadow."""
         s = self._settings
         ckpt = CheckpointManager(s.log_dir)
-        tx, _ = make_optimizer(
-            s.replace(
-                learning_rate_values=(0.0,),
-                learning_rate_boundaries_steps=(),
-                learning_rate_values_resolved=(0.0,),
-            )
-        )
-        # build an abstract template state from a tiny init
         import jax.numpy as jnp
 
         shape = (1, s.height_feature_extractor, s.width_feature_extractor, 3)
         variables = jax.jit(
             lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32))
         )()
-        template = create_train_state(variables, tx, s.ema_decay)
-        state = ckpt.restore(step, template=template)
-        params = state.params
-        if s.restore_emas and state.ema is not None:
-            params = state.ema.debiased(fallback=state.params)
+
+        if s.fused_optimizer and s.optimizer in ("SGD", "SGDM"):
+            from iv2019_tpu.train.fused_update import FusedSGDM
+            from iv2019_tpu.train.state import create_fused_train_state
+
+            fused_opt = FusedSGDM(s, variables["params"])
+            template = create_fused_train_state(variables, fused_opt)
+            state = ckpt.restore(step, template=template)
+            params = state.params
+            if s.restore_emas:
+                params = fused_opt.ema_params(state.opt_state, state.params)
+        else:
+            tx, _ = make_optimizer(
+                s.replace(
+                    learning_rate_values=(0.0,),
+                    learning_rate_boundaries_steps=(),
+                    learning_rate_values_resolved=(0.0,),
+                )
+            )
+            template = create_train_state(variables, tx, s.ema_decay)
+            state = ckpt.restore(step, template=template)
+            params = state.params
+            if s.restore_emas and state.ema is not None:
+                params = state.ema.debiased(fallback=state.params)
         return params, state.batch_stats

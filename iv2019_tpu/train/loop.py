@@ -103,7 +103,15 @@ def train(
         )()
 
     ckpt = CheckpointManager(settings.log_dir)
-    state = create_train_state(init_variables, tx, settings.ema_decay)
+    fused_opt = None
+    if settings.fused_optimizer and settings.optimizer in ("SGD", "SGDM"):
+        from iv2019_tpu.train.fused_update import FusedSGDM
+        from iv2019_tpu.train.state import create_fused_train_state
+
+        fused_opt = FusedSGDM(settings, init_variables["params"])
+        state = create_fused_train_state(init_variables, fused_opt)
+    else:
+        state = create_train_state(init_variables, tx, settings.ema_decay)
 
     latest = ckpt.latest_step()
     if latest is not None:
@@ -122,7 +130,7 @@ def train(
         state = state.replace(params=params, batch_stats=batch_stats)
 
     state = replicate(state, mesh)
-    step_fn = make_train_step(settings, model=model, tx=tx)
+    step_fn = make_train_step(settings, model=model, tx=tx, fused_opt=fused_opt)
 
     logger = MetricsLogger(settings.log_dir)
     num_steps = max_steps or settings.num_training_steps

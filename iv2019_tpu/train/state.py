@@ -96,3 +96,17 @@ def create_train_state(
         opt_state=tx.init(params),
         ema=EmaState.create(params) if ema_decay > 0 else None,
     )
+
+
+def create_fused_train_state(variables, fused_opt) -> TrainState:
+    """TrainState for the fused flat-vector optimizer (train/fused_update.py).
+
+    The EMA shadow lives inside the fused opt state; ``ema`` is None.
+    """
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=fused_opt.init(),
+        ema=None,
+    )

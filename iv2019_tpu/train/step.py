@@ -50,15 +50,20 @@ def forward(model, params, batch_stats, images, train: bool):
     return preds, batch_stats
 
 
-def make_train_step(settings: Settings, model=None, tx=None) -> Callable:
+def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics), jit-compiled.
 
     batch: dict with 'proimages_per_pixel' (Npp,H,W,3), 'proimages_per_bbox',
     'proimages_per_image', 'prolabels_per_pixel' (int32), 'prolabels_per_bbox'
     / 'prolabels_per_image' ((N,H,W,15) f32).
+
+    With ``fused_opt`` (train/fused_update.FusedSGDM) the L2 regularization
+    enters through the optimizer's fused weight-decay gradient (identical
+    math) instead of the loss, and the EMA lives in the fused opt state.
     """
     model = model or build_model(settings.replace(mode="train"))
-    if tx is None:
+    fused = fused_opt is not None
+    if tx is None and not fused:
         tx, _ = make_optimizer(settings)
     tax = get_taxonomy(settings.per_pixel_dataset_name)
     reg_weight = settings.regularization_weight
@@ -85,17 +90,33 @@ def make_train_step(settings: Settings, model=None, tx=None) -> Callable:
         def loss_fn(params):
             preds, new_batch_stats = forward(model, params, state.batch_stats, images, True)
             losses = define_losses(preds, labels, tax)
-            reg = l2_regularization(params, reg_weight)
-            total = losses["total"] + reg
+            if fused:
+                total = losses["total"]  # reg gradient added by the optimizer
+                reg = 0.0
+            else:
+                reg = l2_regularization(params, reg_weight)
+                total = losses["total"] + reg
             return total, (losses, reg, new_batch_stats, preds)
 
         (total, (losses, reg, new_batch_stats, preds)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
-        new_state = state.replace(batch_stats=new_batch_stats).apply_gradients(
-            grads, tx, ema_decay
-        )
+        if fused:
+            new_params, new_opt_state, reg = fused_opt.update(
+                grads, state.opt_state, state.params, state.step
+            )
+            total = total + reg
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                batch_stats=new_batch_stats,
+            )
+        else:
+            new_state = state.replace(batch_stats=new_batch_stats).apply_gradients(
+                grads, tx, ema_decay
+            )
 
         # online batch mIoU on the per-pixel slice (reference define_metrics)
         miou = batch_mean_iou(
