@@ -147,16 +147,34 @@ class SemanticSegmentation:
         params, batch_stats = self._restore_variables(model)
         predict_fn = make_predict_step(s, model=model)
 
+        # arbitrary-size output: with height/width_system unset, predictions
+        # are resized per image to the raw size on host (XLA needs static
+        # shapes; reference define_estimator_hierarchical.py:219-227)
+        arbitrary = not (s.height_system and s.width_system)
+
+        from iv2019_tpu.ops.resize import resize_bilinear, resize_nearest
+
         for features in self._input_fns["predict"](s, self.inference_problem_def):
             out = predict_fn(params, batch_stats, features["proimages"])
             out = jax.device_get(out)
             n = out["decisions"].shape[0]
             for i in range(n):
-                item = {k: v[i] for k, v in out.items()}
+                item = {k: np.asarray(v[i]) for k, v in out.items()}
                 if "rawimages" in features:
                     item["rawimages"] = features["rawimages"]
                 if "rawimagespaths" in features:
                     item["rawimagespaths"] = features["rawimagespaths"]
+                if arbitrary and "rawimages" in features:
+                    raw_hw = np.asarray(features["rawimages"]).shape[:2]
+                    for k in (
+                        "l1_probabilities",
+                        "l2_vehicle_probabilities",
+                        "l2_human_probabilities",
+                    ):
+                        item[k] = resize_bilinear(item[k], raw_hw, align_corners=True)
+                    item["decisions"] = resize_nearest(
+                        item["decisions"], raw_hw, align_corners=True
+                    )
                 yield item
 
     # -- evaluate ----------------------------------------------------------
@@ -176,12 +194,18 @@ class SemanticSegmentation:
         if void_exists and not s.train_void_class:
             labels = labels[:-1]
 
+        # one epoch: Neval examples (reference system_factory.py:338-342)
+        num_eval_steps = max(int(s.Neval / max(s.Nb, 1)), 1)
         ckpt_steps = self._checkpoint_steps()
         all_metrics = []
         for step in ckpt_steps:
             params, batch_stats = self._restore_variables(model, step=step)
             cm = None
-            for batch in self._input_fns["eval"](s, self.evaluation_problem_def):
+            for i, batch in enumerate(
+                self._input_fns["eval"](s, self.evaluation_problem_def)
+            ):
+                if i >= num_eval_steps:
+                    break
                 bcm = eval_fn(params, batch_stats, batch["proimages"], batch["prolabels"])
                 cm = bcm if cm is None else cm + bcm
             cm = np.asarray(jax.device_get(cm)).astype(np.int64)

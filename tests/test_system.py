@@ -102,8 +102,9 @@ class TestSystem:
         outs = list(sys2.predict())
         assert len(outs) == 2
         out = outs[0]
-        assert out["decisions"].shape == (32, 64)
-        assert out["l1_probabilities"].shape == (32, 64, 14)
+        # height/width_system unset -> predictions resized to raw image size
+        assert out["decisions"].shape == (40, 50)
+        assert out["l1_probabilities"].shape == (40, 50, 14)
         assert str(out["rawimagespaths"]).endswith(".png")
 
     def test_restore_emas_path(self, trained_system):
