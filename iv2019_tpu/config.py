@@ -98,7 +98,7 @@ class Settings:
     fused_optimizer: bool = True
     # run dilated backbone blocks as dense convs over phase-decomposed grids
     # (identical results; TPU-friendly layout — see models/resnet.py)
-    dilation_mode: str = "space_to_batch"  # | "dilated"
+    dilation_mode: str = "dilated"  # | "space_to_batch" (identical results)
 
     # -- inference / evaluation (utils.py:121-178) -------------------------
     ckpt_path: Optional[str] = None

@@ -80,7 +80,7 @@ class HierarchicalSegmentationModel(nn.Module):
     fov_expansion_kernel_rate: int = 0
     psp_module: bool = False
     upsampling_method: str = "bilinear"
-    dilation_mode: str = "space_to_batch"  # | "dilated" (identical results)
+    dilation_mode: str = "dilated"  # | "space_to_batch" (identical results)
     norm_type: str = "batch"
     batch_norm_decay: float = 0.9
     accumulate_norm_statistics: bool = False  # True during training

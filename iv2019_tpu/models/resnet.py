@@ -105,10 +105,12 @@ def _batch_to_space(x, f: int):
 class ResNetV1(nn.Module):
     """Fully-convolutional dilated ResNet-v1 (50-layer default).
 
-    ``dilation_mode='space_to_batch'`` (default) executes rate-r units as
-    dense convs over r^2 phase-shifted subgrids — numerically identical to
-    ``'dilated'`` (tested), typically much faster on TPU. Falls back to
-    dilated convs when the feature map isn't divisible by the rate.
+    ``dilation_mode='space_to_batch'`` executes rate-r units as dense convs
+    over r^2 phase-shifted subgrids — numerically identical to ``'dilated'``
+    (tested). Which mode is faster depends on how well the XLA build handles
+    dilated convs (A/B on the current chip favored 'dilated', so that is the
+    default; the mode is a one-flag switch). Falls back to dilated convs when
+    the feature map isn't divisible by the rate.
     """
 
     blocks: tuple[tuple[int, int, int], ...] = RESNET50_BLOCKS
@@ -116,7 +118,7 @@ class ResNetV1(nn.Module):
     norm_type: str = "batch"
     momentum: float = 0.9
     use_running_average: bool = True
-    dilation_mode: str = "space_to_batch"  # | "dilated"
+    dilation_mode: str = "dilated"  # | "space_to_batch"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
