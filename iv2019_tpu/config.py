@@ -99,6 +99,9 @@ class Settings:
     # run dilated backbone blocks as dense convs over phase-decomposed grids
     # (identical results; TPU-friendly layout — see models/resnet.py)
     dilation_mode: str = "dilated"  # | "space_to_batch" (identical results)
+    # hand-written Pallas kernel for the fused optimizer update
+    # (ops/pallas_update.py; identical results)
+    pallas_update: bool = False
 
     # -- inference / evaluation (utils.py:121-178) -------------------------
     ckpt_path: Optional[str] = None

@@ -59,9 +59,17 @@ class FusedOptState(struct.PyTreeNode):
 
 
 class FusedSGDM:
-    """Flat-vector SGD(M) + weight decay + TF-semantics EMA."""
+    """Flat-vector SGD(M) + weight decay + TF-semantics EMA.
 
-    def __init__(self, settings: Settings, params_template: Any):
+    ``use_pallas`` switches the update math to the hand-written Pallas TPU
+    kernel (ops/pallas_update.py; identical results, guaranteed single-pass
+    tiling). State vectors are padded to the kernel's tile size either way so
+    checkpoints are interchangeable between both paths.
+    """
+
+    def __init__(self, settings: Settings, params_template: Any, use_pallas=None):
+        from iv2019_tpu.ops.pallas_update import pad_to_tile
+
         self.lr_fn = make_learning_rate_fn(settings)
         self.momentum = settings.momentum if settings.optimizer == "SGDM" else 0.0
         self.nesterov = settings.use_nesterov
@@ -69,14 +77,24 @@ class FusedSGDM:
         self.ema_decay = settings.ema_decay
         flat, self.unravel = ravel_pytree(params_template)
         self.num_params = flat.size
-        self.wd_mask = jnp.asarray(make_weight_decay_mask(params_template))
+        self.n_flat = pad_to_tile(self.num_params)
+        if use_pallas is None:
+            use_pallas = getattr(settings, "pallas_update", False)
+        self.use_pallas = use_pallas
+        mask = make_weight_decay_mask(params_template)
+        self.wd_mask = jnp.asarray(
+            np.pad(mask, (0, self.n_flat - self.num_params))
+        )
+
+    def _pad(self, v):
+        return jnp.pad(v, (0, self.n_flat - self.num_params))
 
     def init(self) -> FusedOptState:
         # distinct buffers: the train step donates the whole state and XLA
         # rejects donating one buffer twice
         return FusedOptState(
-            momentum=jnp.zeros((self.num_params,), jnp.float32),
-            ema_biased=jnp.zeros((self.num_params,), jnp.float32),
+            momentum=jnp.zeros((self.n_flat,), jnp.float32),
+            ema_biased=jnp.zeros((self.n_flat,), jnp.float32),
             ema_decay_product=jnp.asarray(1.0, jnp.float32),
         )
 
@@ -84,31 +102,41 @@ class FusedSGDM:
         """Returns (new_params, new_opt_state, reg_loss_metric)."""
         g, _ = ravel_pytree(grads)
         w, _ = ravel_pytree(params)
-        g = g.astype(jnp.float32)
-        w = w.astype(jnp.float32)
-
-        wd_w = self.wd_mask * w
-        g = g + self.weight_decay * wd_w
-        m = g + self.momentum * opt_state.momentum
-        if self.nesterov:
-            upd = g + self.momentum * m
-        else:
-            upd = m
+        g = self._pad(g.astype(jnp.float32))
+        w = self._pad(w.astype(jnp.float32))
         lr = self.lr_fn(step)
-        w_new = w - lr * upd
+        t = step.astype(jnp.float32)
+        d = jnp.minimum(self.ema_decay, (1.0 + t) / (10.0 + t))
+
+        if self.use_pallas:
+            from iv2019_tpu.ops.pallas_update import fused_update_pallas
+
+            w_new, m, ema, reg_raw = fused_update_pallas(
+                w, g, opt_state.momentum, opt_state.ema_biased, self.wd_mask,
+                lr, d,
+                momentum=self.momentum,
+                weight_decay=self.weight_decay,
+                nesterov=self.nesterov,
+                interpret=jax.default_backend() == "cpu",
+            )
+            reg = 0.5 * self.weight_decay * reg_raw
+        else:
+            wd_w = self.wd_mask * w
+            g = g + self.weight_decay * wd_w
+            m = g + self.momentum * opt_state.momentum
+            upd = g + self.momentum * m if self.nesterov else m
+            w_new = w - lr * upd
+            ema = opt_state.ema_biased - (1.0 - d) * (opt_state.ema_biased - w_new)
+            reg = 0.5 * self.weight_decay * jnp.sum(wd_w * w)
 
         if self.ema_decay > 0:
-            t = step.astype(jnp.float32)
-            d = jnp.minimum(self.ema_decay, (1.0 + t) / (10.0 + t))
-            ema = opt_state.ema_biased - (1.0 - d) * (opt_state.ema_biased - w_new)
             prod = opt_state.ema_decay_product * d
         else:
             ema = opt_state.ema_biased
             prod = opt_state.ema_decay_product
 
-        reg = 0.5 * self.weight_decay * jnp.sum(wd_w * w)
         new_state = FusedOptState(momentum=m, ema_biased=ema, ema_decay_product=prod)
-        return self.unravel(w_new), new_state, reg
+        return self.unravel(w_new[: self.num_params]), new_state, reg
 
     def ema_params(self, opt_state: FusedOptState, fallback_params: Any) -> Any:
         """Zero-debiased EMA parameters as a pytree (for --restore_emas)."""
@@ -116,7 +144,7 @@ class FusedSGDM:
         flat_fb, _ = ravel_pytree(fallback_params)
         flat = jnp.where(
             denom > 0,
-            opt_state.ema_biased / jnp.maximum(denom, 1e-12),
+            opt_state.ema_biased[: self.num_params] / jnp.maximum(denom, 1e-12),
             flat_fb.astype(jnp.float32),
         )
         return self.unravel(flat)

@@ -82,6 +82,7 @@ def train(
     log_every: int = 20,
     profile_steps: Optional[tuple[int, int]] = None,
     max_steps: Optional[int] = None,
+    image_summaries: bool = True,
 ) -> TrainState:
     """Run training to settings.num_training_steps; returns the final state."""
     mesh = mesh or create_mesh(settings.num_devices)
@@ -135,6 +136,33 @@ def train(
     logger = MetricsLogger(settings.log_dir)
     num_steps = max_steps or settings.num_training_steps
     save_every = settings.save_checkpoints_steps or max(num_steps, 1)
+    summary_every = max(settings.save_summaries_steps, 1)
+
+    # image summaries: colorized decisions/labels for one example, the
+    # counterpart of the reference's drawing section
+    # (define_estimator_hierarchical.py:317-378). One extra 1-image forward
+    # per summary interval, off the hot path.
+    summary_fn = None
+    palette = None
+    if image_summaries and logger._tb is not None:
+        try:
+            from iv2019_tpu.problem.problem_def import load_problem_def
+
+            pd = load_problem_def(settings.training_problem_def_path)
+            palette = pd.palette()
+            eval_model = model
+
+            @jax.jit
+            def summary_fn(params, batch_stats, image):
+                preds, _ = eval_model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    image,
+                    mutable=["batch_stats"],
+                )
+                return preds["decisions"][0]
+
+        except Exception:
+            summary_fn = None
 
     start_step = int(state.step)
     t_last = time.time()
@@ -163,6 +191,25 @@ def train(
             metrics["learning_rate"] = float(lr_fn(np.asarray(step)))
             metrics["images_per_sec"] = ips
             logger.log(step, metrics)
+        if summary_fn is not None and step % summary_every == 0:
+            try:
+                img = batch["proimages_per_pixel"][:1]
+                decs = np.asarray(jax.device_get(
+                    summary_fn(state.params, state.batch_stats, img)
+                ))
+                labels_img = np.asarray(
+                    jax.device_get(batch["prolabels_per_pixel"][0])
+                )
+                k = len(palette)
+                logger.log_images(step, {
+                    "proimage": np.asarray(
+                        (jax.device_get(img)[0] + 1.0) * 127.5
+                    ).astype(np.uint8),
+                    "decisions": palette[np.clip(decs, 0, k - 1)],
+                    "prolabels": palette[np.clip(labels_img, 0, k - 1)],
+                })
+            except Exception:
+                pass
         if step % save_every == 0 or step == num_steps:
             ckpt.save(step, jax.device_get(state))
             t_last = time.time()  # don't count ckpt time in throughput

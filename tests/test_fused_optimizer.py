@@ -81,6 +81,38 @@ class TestFusedMatchesReferencePath:
             )
 
 
+class TestPallasUpdatePath:
+    def test_pallas_matches_jnp_path(self):
+        settings = tiny_settings()
+        model, variables = _init(settings)
+        batch = synthetic_batch(settings)
+
+        opt_jnp = FusedSGDM(settings, variables["params"], use_pallas=False)
+        opt_pl = FusedSGDM(settings, variables["params"], use_pallas=True)
+        s_jnp = create_fused_train_state(variables, opt_jnp)
+        s_pl = create_fused_train_state(variables, opt_pl)
+        step_jnp = make_train_step(settings, model=model, fused_opt=opt_jnp)
+        step_pl = make_train_step(settings, model=model, fused_opt=opt_pl)
+
+        for _ in range(2):
+            s_jnp, m_jnp = step_jnp(s_jnp, batch)
+            s_pl, m_pl = step_pl(s_pl, batch)
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_jnp.params),
+            jax.tree_util.tree_leaves(s_pl.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(s_jnp.opt_state.ema_biased),
+            np.asarray(s_pl.opt_state.ema_biased),
+            rtol=1e-5, atol=1e-7,
+        )
+        assert float(m_jnp["regularization"]) == pytest.approx(
+            float(m_pl["regularization"]), rel=1e-5
+        )
+
+
 def test_weight_decay_mask_kernels_only():
     params = {
         "conv": {"kernel": np.ones((2, 3)), "bias": np.ones((3,))},
