@@ -100,8 +100,8 @@ class Settings:
     # (identical results; TPU-friendly layout — see models/resnet.py)
     dilation_mode: str = "dilated"  # | "space_to_batch" (identical results)
     # hand-written Pallas kernel for the fused optimizer update
-    # (ops/pallas_update.py; identical results)
-    pallas_update: bool = False
+    # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
+    pallas_update: bool = True
 
     # -- inference / evaluation (utils.py:121-178) -------------------------
     ckpt_path: Optional[str] = None

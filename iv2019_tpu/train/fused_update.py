@@ -79,7 +79,12 @@ class FusedSGDM:
         self.num_params = flat.size
         self.n_flat = pad_to_tile(self.num_params)
         if use_pallas is None:
-            use_pallas = getattr(settings, "pallas_update", False)
+            # compiled Pallas on accelerators; CPU keeps the jnp path (the
+            # interpreter is for tests only)
+            use_pallas = (
+                getattr(settings, "pallas_update", False)
+                and jax.default_backend() != "cpu"
+            )
         self.use_pallas = use_pallas
         mask = make_weight_decay_mask(params_template)
         self.wd_mask = jnp.asarray(
