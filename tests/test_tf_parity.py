@@ -47,6 +47,65 @@ def test_nearest_matches_tf1(align, in_hw, out_hw):
     np.testing.assert_array_equal(got, want)
 
 
+class TestConvPaddingParity:
+    """Validate slim conv2d_same / SAME-pool padding against TF kernels."""
+
+    def test_conv2d_same_stride2_kernel7(self):
+        # resnet root conv: explicit (3,3) pad + VALID stride 2
+        import jax
+        import jax.numpy as jnp
+
+        from iv2019_tpu.models.layers import ConvSame
+
+        rng = np.random.RandomState(0)
+        x = rng.rand(1, 17, 23, 3).astype(np.float32)
+        k = rng.rand(7, 7, 3, 4).astype(np.float32) * 0.1
+
+        pad = tf.pad(tf.constant(x), [[0, 0], [3, 3], [3, 3], [0, 0]])
+        want = tf.nn.conv2d(pad, tf.constant(k), strides=2, padding="VALID").numpy()
+
+        conv = ConvSame(4, 7, 2, dtype=jnp.float32)
+        variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        variables = jax.tree_util.tree_map(np.asarray, variables)
+        variables["params"]["conv"]["kernel"] = k
+        got = np.asarray(conv.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_conv2d_same_dilated(self):
+        import jax
+        import jax.numpy as jnp
+
+        from iv2019_tpu.models.layers import ConvSame
+
+        rng = np.random.RandomState(1)
+        x = rng.rand(1, 16, 16, 2).astype(np.float32)
+        k = rng.rand(3, 3, 2, 2).astype(np.float32) * 0.1
+        want = tf.nn.conv2d(
+            tf.constant(x), tf.constant(k), strides=1, padding="SAME",
+            dilations=2,
+        ).numpy()
+        conv = ConvSame(2, 3, 1, rate=2, dtype=jnp.float32)
+        variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        variables = jax.tree_util.tree_map(np.asarray, variables)
+        variables["params"]["conv"]["kernel"] = k
+        got = np.asarray(conv.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("hw", [(16, 16), (17, 23), (31, 14)])
+    def test_max_pool_same(self, hw):
+        import jax.numpy as jnp
+
+        from iv2019_tpu.models.resnet import _max_pool_same
+
+        rng = np.random.RandomState(2)
+        x = rng.rand(2, *hw, 3).astype(np.float32)
+        want = tf.nn.max_pool2d(
+            tf.constant(x), ksize=3, strides=2, padding="SAME"
+        ).numpy()
+        got = np.asarray(_max_pool_same(jnp.asarray(x), 3, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_tfrecord_example_roundtrip(tmp_path):
     """Write TFRecords with TF, read them with our dependency-free reader."""
     path = str(tmp_path / "test.tfrecords")
