@@ -102,6 +102,11 @@ class Settings:
     # hand-written Pallas kernel for the fused optimizer update
     # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
     pallas_update: bool = True
+    # rasterize bbox weak labels on device from padded (cid, box) tensors
+    # instead of on the host CPU (the reference's py_func bottleneck;
+    # boxes are rasterized at the crop resolution, +-1px at box edges vs
+    # rasterize-then-NN-resize)
+    rasterize_on_device: bool = False
 
     # -- inference / evaluation (utils.py:121-178) -------------------------
     ckpt_path: Optional[str] = None

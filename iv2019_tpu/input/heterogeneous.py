@@ -78,15 +78,22 @@ def train_input(
         pp = next(pp_iter)
         pb = next(pb_iter) if pb_iter is not None else empty
         pi = next(pi_iter) if pi_iter is not None else empty
-        yield {
+        batch = {
             "proimages_per_pixel": pp["proimages"],
             "proimages_per_bbox": pb["proimages"],
             "proimages_per_image": pi["proimages"],
             "prolabels_per_pixel": pp["prolabels"],
-            "prolabels_per_bbox": pb["prolabels"],
             "prolabels_per_image": pi["prolabels"],
             "imageids_per_bbox": pb["imageids"],
             "imageids_per_image": pi["imageids"],
             "rawimagespaths": pp.get("rawimagespaths", []),
             "rawlabelspaths": pp.get("rawlabelspaths", []),
         }
+        if "bbox_cids" in pb:
+            # device-side rasterization path: padded box tensors instead of
+            # dense per-pixel multinomials
+            batch["bbox_cids"] = pb["bbox_cids"]
+            batch["bbox_coords"] = pb["bbox_coords"]
+        else:
+            batch["prolabels_per_bbox"] = pb["prolabels"]
+        yield batch

@@ -60,11 +60,36 @@ def _read_image(image_dir: str, imageid: str) -> np.ndarray:
     return np.asarray(img)
 
 
+def transform_boxes_for_crop(
+    coords: np.ndarray, in_hw, target_hw, crop_offset=(0, 0), resized_hw=None
+) -> np.ndarray:
+    """Map normalized (xmin, xmax, ymin, ymax) boxes through an
+    aspect-preserving resize + crop to the crop's normalized coordinates."""
+    th, tw = target_hw
+    if resized_hw is None:
+        resized_hw = (th, tw)
+    rh, rw = resized_hw
+    oy, ox = crop_offset
+    out = np.empty_like(coords)
+    out[:, 0] = (coords[:, 0] * rw - ox) / tw
+    out[:, 1] = (coords[:, 1] * rw - ox) / tw
+    out[:, 2] = (coords[:, 2] * rh - oy) / th
+    out[:, 3] = (coords[:, 3] * rh - oy) / th
+    return np.clip(out, 0.0, 1.0)
+
+
 def bbox_train_input(
     settings: Settings, seed: Optional[int] = None
 ) -> Iterator[dict]:
     """Yields batched {'proimages' (Nb,hf,wf,3) in [-1,1), 'prolabels'
-    (Nb,hf,wf,15) f32, 'imageids'} dicts."""
+    (Nb,hf,wf,15) f32, 'imageids'} dicts.
+
+    With ``settings.rasterize_on_device`` the dense labels are replaced by
+    padded {'bbox_cids' (Nb, MAX_N) int32, 'bbox_coords' (Nb, MAX_N, 4) f32}
+    in crop coordinates; the train step rasterizes on device
+    (ops/rasterize.rasterize_bboxes) — the TPU-native answer to the
+    reference's host py_func bottleneck (input_subset_bboxes_v2.py:3-4).
+    """
     if settings.synthetic_data:
         yield from synthetic_weak_batches(settings, kind="bbox", seed=seed or 0)
         return
@@ -73,6 +98,7 @@ def bbox_train_input(
     image_dir = settings.openimages_image_dir
     hw = (settings.height_feature_extractor, settings.width_feature_extractor)
     rng = np.random.RandomState(seed)
+    on_device = settings.rasterize_on_device
 
     def _pre(item) -> dict:
         imageid, bboxes = item
@@ -82,6 +108,29 @@ def bbox_train_input(
             [OPEN_IMAGES_MID2CID.get(mid, -1) for mid, _ in bboxes], np.int32
         )
         coords = np.asarray([c for _, c in bboxes], np.float32).reshape(-1, 4)
+        if on_device:
+            if settings.preserve_aspect_ratio:
+                rh, rw = core.aspect_preserving_size((h, w), hw, "max")
+            else:
+                rh, rw = hw
+            oy = rng.randint(0, rh - hw[0] + 1) if rh > hw[0] else 0
+            ox = rng.randint(0, rw - hw[1] + 1) if rw > hw[1] else 0
+            proimage = core.resize_bilinear(image, (rh, rw))[
+                oy : oy + hw[0], ox : ox + hw[1]
+            ]
+            n = min(len(cids), MAX_N_BBOXES)
+            pad_cids = np.full((MAX_N_BBOXES,), -1, np.int32)
+            pad_coords = np.zeros((MAX_N_BBOXES, 4), np.float32)
+            pad_cids[:n] = cids[:n]
+            pad_coords[:n] = transform_boxes_for_crop(
+                coords[:n], (h, w), hw, (oy, ox), (rh, rw)
+            )
+            return {
+                "proimages": proimage,
+                "bbox_cids": pad_cids,
+                "bbox_coords": pad_coords,
+                "imageids": imageid,
+            }
         rla = rasterize_bboxes_np(cids, coords, h, w)
         proimage, prolabel = core.resize_images_and_labels(
             image, rla, hw, settings.preserve_aspect_ratio, rng

@@ -80,9 +80,19 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
             ],
             axis=0,
         )
+        if "bbox_cids" in batch:
+            # device-side weak-label rasterization from padded box tensors
+            from iv2019_tpu.ops.rasterize import rasterize_bboxes
+
+            h, w = images.shape[1], images.shape[2]
+            prolabels_per_bbox = jax.vmap(
+                lambda c, b: rasterize_bboxes(c, b, h, w)
+            )(batch["bbox_cids"], batch["bbox_coords"])
+        else:
+            prolabels_per_bbox = batch["prolabels_per_bbox"]
         labels = {
             "prolabels_per_pixel": batch["prolabels_per_pixel"],
-            "prolabels_per_bbox": batch["prolabels_per_bbox"],
+            "prolabels_per_bbox": prolabels_per_bbox,
             "prolabels_per_image": batch["prolabels_per_image"],
         }
         n_pp = batch["prolabels_per_pixel"].shape[0]
