@@ -102,6 +102,9 @@ class Settings:
     # hand-written Pallas kernel for the fused optimizer update
     # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
     pallas_update: bool = True
+    # grouped-conv execution of the 3 adaptation branches + heads (identical
+    # math, 3x fewer kernels; different parameter layout than unfused)
+    fuse_adaptation: bool = False
     # rasterize bbox weak labels on device from padded (cid, box) tensors
     # instead of on the host CPU (the reference's py_func bottleneck;
     # boxes are rasterized at the crop resolution, +-1px at box edges vs

@@ -55,6 +55,7 @@ class ConvSame(nn.Module):
     stride: int = 1
     rate: int = 1
     use_bias: bool = False
+    feature_group_count: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -67,6 +68,7 @@ class ConvSame(nn.Module):
             kernel_dilation=(self.rate, self.rate),
             padding=(pad, pad),
             use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
             kernel_init=variance_scaling_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -136,18 +138,27 @@ class conv_norm_relu(nn.Module):
     momentum: float = 0.9
     use_running_average: bool = True
     groups: int = 32
+    feature_group_count: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        x = ConvSame(
-            self.features,
-            self.kernel_size,
-            self.stride,
-            self.rate,
+        # inline conv (named 'conv') so parameter paths are
+        # <module>/conv/kernel — the layout the slim warm-start mapping
+        # (utils/checkpoint.py) addresses
+        pad = _same_padding(self.kernel_size, self.rate)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            kernel_dilation=(self.rate, self.rate),
+            padding=(pad, pad),
             use_bias=False,
+            feature_group_count=self.feature_group_count,
+            kernel_init=variance_scaling_init,
             dtype=self.dtype,
-            name=None,
+            param_dtype=jnp.float32,
+            name="conv",
         )(x)
         x = Norm(
             norm_type=self.norm_type,

@@ -81,6 +81,9 @@ class HierarchicalSegmentationModel(nn.Module):
     psp_module: bool = False
     upsampling_method: str = "bilinear"
     dilation_mode: str = "dilated"  # | "space_to_batch" (identical results)
+    # run the 3 adaptation branches + logit heads as grouped convs (3x fewer
+    # kernels, identical math — BatchNorm is per-channel)
+    fuse_adaptation: bool = False
     norm_type: str = "batch"
     batch_norm_decay: float = 0.9
     accumulate_norm_statistics: bool = False  # True during training
@@ -138,34 +141,40 @@ class HierarchicalSegmentationModel(nn.Module):
                 name="feature_extractor/pyramid_module",
             )(x)
 
-        # --- adaptation: 3 parallel bottlenecks (adaptation_module/*) ---
-        def _branch(name):
-            return BottleneckV1(
-                depth=x.shape[-1], depth_bottleneck=x.shape[-1], stride=1,
-                norm_type=self.norm_type, momentum=self.batch_norm_decay,
-                use_running_average=not self.accumulate_norm_statistics,
-                dtype=self.dtype, name=f"adaptation_module/{name}",
-            )(x)
-
-        l1_features = _branch("l1_features")
-        l2_vehicle_features = _branch("l2_vehicle_features")
-        l2_human_features = _branch("l2_human_features")
-
-        # --- heads: 1x1 conv (no act; arg-scope norm still applies, with
-        # groups=1 => layer norm in the group-norm config) + upsample ---
+        # --- adaptation + heads ---
         head_kw = dict(kw)
         head_kw["groups"] = 1
 
-        def _head(feat, n_out, name):
-            logits = conv_norm_relu(
-                n_out, 1, activation=False, name=f"softmax_classifier/{name}",
-                **head_kw,
-            )(feat)
-            return self._upsample(logits, (hf, wf), name)
+        if self.fuse_adaptation:
+            l1_logits, l2_vehicle_logits, l2_human_logits = self._fused_adaptation_heads(
+                x, (hf, wf), kw, head_kw
+            )
+        else:
+            # 3 parallel bottlenecks (adaptation_module/*)
+            def _branch(name):
+                return BottleneckV1(
+                    depth=x.shape[-1], depth_bottleneck=x.shape[-1], stride=1,
+                    norm_type=self.norm_type, momentum=self.batch_norm_decay,
+                    use_running_average=not self.accumulate_norm_statistics,
+                    dtype=self.dtype, name=f"adaptation_module/{name}",
+                )(x)
 
-        l1_logits = _head(l1_features, tax.num_l1_classes, "l1_logits")
-        l2_vehicle_logits = _head(l2_vehicle_features, tax.num_vehicle_classes, "l2_vehicle_logits")
-        l2_human_logits = _head(l2_human_features, tax.num_human_classes, "l2_human_logits")
+            l1_features = _branch("l1_features")
+            l2_vehicle_features = _branch("l2_vehicle_features")
+            l2_human_features = _branch("l2_human_features")
+
+            # heads: 1x1 conv (no act; arg-scope norm still applies, with
+            # groups=1 => layer norm in the group-norm config) + upsample
+            def _head(feat, n_out, name):
+                logits = conv_norm_relu(
+                    n_out, 1, activation=False, name=f"softmax_classifier/{name}",
+                    **head_kw,
+                )(feat)
+                return self._upsample(logits, (hf, wf), name)
+
+            l1_logits = _head(l1_features, tax.num_l1_classes, "l1_logits")
+            l2_vehicle_logits = _head(l2_vehicle_features, tax.num_vehicle_classes, "l2_vehicle_logits")
+            l2_human_logits = _head(l2_human_features, tax.num_human_classes, "l2_human_logits")
 
         # --- probabilities / decisions / fusion (f32) ---
         # argmax over logits == argmax over softmax(logits); keeping decisions
@@ -202,6 +211,49 @@ class HierarchicalSegmentationModel(nn.Module):
             "decisions": decs,
         }
 
+    def _fused_adaptation_heads(self, x, size, kw, head_kw):
+        """Grouped-conv execution of the 3 adaptation bottlenecks + heads.
+
+        Identical math to the unfused path: the first 1x1 conv stacks the 3
+        branch kernels along output channels (shared input), the 3x3 and the
+        following convs run with feature_group_count=3, and BatchNorm over
+        the 3C stacked channels computes exactly the per-branch per-channel
+        statistics. Head outputs are padded to a common per-group width and
+        sliced. Parameter layout differs from the unfused path (use one or
+        the other consistently for a given checkpoint).
+        """
+        tax = self.taxonomy
+        c = x.shape[-1]
+        gkw = dict(kw)
+
+        y = conv_norm_relu(3 * c, 1, name="adaptation_module/fused/conv1", **gkw)(x)
+        y = conv_norm_relu(
+            3 * c, 3, feature_group_count=3,
+            name="adaptation_module/fused/conv2", **gkw,
+        )(y)
+        y = conv_norm_relu(
+            3 * c, 1, feature_group_count=3, activation=False,
+            name="adaptation_module/fused/conv3", **gkw,
+        )(y)
+        shortcut = jnp.concatenate([x, x, x], axis=-1)
+        feats = nn.relu(shortcut + y)
+
+        head_width = max(
+            tax.num_l1_classes, tax.num_vehicle_classes, tax.num_human_classes
+        )
+        logits = conv_norm_relu(
+            3 * head_width, 1, feature_group_count=3, activation=False,
+            name="softmax_classifier/fused_logits", **head_kw,
+        )(feats)
+        l1 = logits[..., 0 : tax.num_l1_classes]
+        veh = logits[..., head_width : head_width + tax.num_vehicle_classes]
+        hum = logits[..., 2 * head_width : 2 * head_width + tax.num_human_classes]
+        return (
+            self._upsample(l1, size, "l1_logits"),
+            self._upsample(veh, size, "l2_vehicle_logits"),
+            self._upsample(hum, size, "l2_human_logits"),
+        )
+
     def _upsample(self, logits, size, name):
         """x8 logit upsampler (reference _create_upsampler :143-184)."""
         if self.upsampling_method == "no":
@@ -233,6 +285,7 @@ def build_model(settings: Settings) -> HierarchicalSegmentationModel:
         psp_module=settings.psp_module,
         upsampling_method=settings.upsampling_method,
         dilation_mode=settings.dilation_mode,
+        fuse_adaptation=settings.fuse_adaptation,
         norm_type=settings.norm_layer,
         batch_norm_decay=settings.batch_norm_decay,
         accumulate_norm_statistics=(

@@ -72,26 +72,43 @@ class TestWarmStart:
         variables = jax.tree_util.tree_map(np.asarray, variables)
 
         # build an npz with slim names matching the tiny model's shapes
-        conv1 = variables["params"]["feature_extractor/base"]["conv1"]["conv"]["kernel"]
-        gamma = variables["params"]["feature_extractor/base"]["conv1_norm"]["BatchNorm"]["scale"]
+        base = variables["params"]["feature_extractor/base"]
+        conv1 = base["conv1"]["conv"]["kernel"]
+        gamma = base["conv1_norm"]["BatchNorm"]["scale"]
+        unit_conv2 = base["block1/unit_1"]["conv2"]["conv"]["kernel"]
+        unit_bn_mean = variables["batch_stats"]["feature_extractor/base"][
+            "block1/unit_1"]["conv2"]["norm"]["BatchNorm"]["mean"]
         npz_path = str(tmp_path / "imagenet.npz")
         np.savez(
             npz_path,
             **{
                 "resnet_v1_50/conv1/weights": np.full_like(conv1, 0.123),
                 "resnet_v1_50/conv1/BatchNorm/gamma": np.full_like(gamma, 0.456),
+                "resnet_v1_50/block1/unit_1/bottleneck_v1/conv2/weights":
+                    np.full_like(unit_conv2, 0.789),
+                "resnet_v1_50/block1/unit_1/bottleneck_v1/conv2/BatchNorm/moving_mean":
+                    np.full_like(unit_bn_mean, 0.111),
                 "global_step": np.asarray(100),
             },
         )
         params, batch_stats, n = warm_start_from_npz(
             variables["params"], variables["batch_stats"], npz_path
         )
-        assert n == 2
+        assert n == 4
         np.testing.assert_allclose(
             params["feature_extractor/base"]["conv1"]["conv"]["kernel"], 0.123
         )
         np.testing.assert_allclose(
             params["feature_extractor/base"]["conv1_norm"]["BatchNorm"]["scale"], 0.456
+        )
+        np.testing.assert_allclose(
+            params["feature_extractor/base"]["block1/unit_1"]["conv2"]["conv"]["kernel"],
+            0.789,
+        )
+        np.testing.assert_allclose(
+            batch_stats["feature_extractor/base"]["block1/unit_1"]["conv2"]["norm"][
+                "BatchNorm"]["mean"],
+            0.111,
         )
 
     def test_shape_mismatch_raises(self, tmp_path):
