@@ -175,6 +175,9 @@ class SemanticSegmentation:
                     item["decisions"] = resize_nearest(
                         item["decisions"], raw_hw, align_corners=True
                     )
+                # predict_keys selection (reference Estimator.predict contract)
+                if s.predict_keys:
+                    item = {k: v for k, v in item.items() if k in s.predict_keys}
                 yield item
 
     # -- evaluate ----------------------------------------------------------
