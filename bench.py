@@ -18,6 +18,7 @@ the chip's peak bf16 throughput.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -193,9 +194,122 @@ def predict_latency(samples: int = 30, warmup: int = 3):
     }))
 
 
+def input_pipeline_throughput(num_batches: int = 12):
+    """Tertiary benchmark: host input-pipeline throughput with real work.
+
+    Builds an on-disk synthetic dataset (PNG-encoded cityscapes-like
+    TFRecords + JPEG OpenImages images + bbox/image-label mappings), then
+    measures the 3-way heterogeneous pipeline end-to-end: TFRecord read,
+    PNG/JPEG decode, lids2cids, bbox rasterization, resize/crop, batch.
+    Run with ``python bench.py input``.
+    """
+    import io
+    import json
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from iv2019_tpu.config import Settings
+    from iv2019_tpu.input.heterogeneous import train_input
+    from iv2019_tpu.input.tfrecord_writer import TFRecordWriter, encode_example
+    from iv2019_tpu.problem.problem_def import load_problem_def
+
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="bench_input_")
+    h_raw, w_raw = 1024, 2048  # cityscapes native size
+
+    def _structured(h, w, c=3):
+        """Street-scene-like compressibility: smooth gradients + blocks
+        (random noise makes pathological multi-MB PNGs)."""
+        yy, xx = np.meshgrid(
+            np.linspace(0, 255, h, dtype=np.float32),
+            np.linspace(0, 255, w, dtype=np.float32),
+            indexing="ij",
+        )
+        base = np.stack([yy, xx, (yy + xx) / 2][:c], -1).astype(np.uint8)
+        blocks = rng.randint(0, 255, (h // 64 + 1, w // 64 + 1, c), np.uint8)
+        blocks = np.kron(blocks, np.ones((64, 64, 1), np.uint8))[:h, :w]
+        return ((base.astype(np.uint16) + blocks) // 2).astype(np.uint8)
+
+    # per-pixel TFRecords (8 examples, PNG encoded at native size)
+    tfr = os.path.join(tmp, "train.tfrecords")
+    with TFRecordWriter(tfr) as w:
+        for i in range(8):
+            img = _structured(h_raw, w_raw)
+            lab = np.kron(
+                rng.randint(0, 34, (h_raw // 32, w_raw // 32), np.uint8),
+                np.ones((32, 32), np.uint8),
+            )[:h_raw, :w_raw]
+            ib, lb = io.BytesIO(), io.BytesIO()
+            Image.fromarray(img).save(ib, format="PNG")
+            Image.fromarray(lab).save(lb, format="PNG")
+            w.write(encode_example({
+                "image/encoded": ib.getvalue(), "label/encoded": lb.getvalue(),
+                "image/path": f"im{i}.png", "label/path": f"la{i}.png",
+            }))
+
+    # OpenImages-style JPEGs + mappings (8 images, ~1MP)
+    img_dir = os.path.join(tmp, "images")
+    os.makedirs(img_dir)
+    id2boxes, id2mids = {}, {}
+    mids = list(__import__("iv2019_tpu.problem.taxonomy", fromlist=["x"]).OPEN_IMAGES_MID2CID)
+    for i in range(8):
+        iid = f"oi{i}"
+        Image.fromarray(_structured(768, 1024)).save(
+            os.path.join(img_dir, iid + ".jpg"), quality=90
+        )
+        boxes = []
+        for _ in range(rng.randint(1, 20)):
+            x0, x1 = sorted(rng.rand(2))
+            y0, y1 = sorted(rng.rand(2))
+            boxes.append((mids[rng.randint(0, 14)], (float(x0), float(x1), float(y0), float(y1))))
+        id2boxes[iid] = boxes
+        id2mids[iid] = [m for m, _ in boxes[:3]]
+    with open(os.path.join(tmp, "boxes.json"), "w") as f:
+        json.dump(id2boxes, f)
+    with open(os.path.join(tmp, "imagelabels.json"), "w") as f:
+        json.dump(id2mids, f)
+
+    settings = Settings(
+        per_pixel_dataset_name="cityscapes",
+        tfrecords_path_per_pixel=tfr,
+        openimages_image_dir=img_dir,
+        openimages_bboxes_path=os.path.join(tmp, "boxes.json"),
+        openimages_image_labels_path=os.path.join(tmp, "imagelabels.json"),
+        learning_rate_values=(0.01, 0.005, 0.0025),
+    ).finalize()
+    pd = load_problem_def(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "iv2019_tpu", "problem_definitions", "cityscapes", "problem01.json",
+    ))
+
+    it = train_input(settings, pd, seed=0)
+    next(it)  # warm up caches/threads
+    imgs = 16
+    t0 = time.perf_counter()
+    for _ in range(num_batches):
+        next(it)
+    dt = time.perf_counter() - t0
+    ips = num_batches * imgs / dt
+    print(json.dumps({
+        "metric": "input_pipeline_images_per_sec",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": None,
+        "detail": {
+            "batches": num_batches, "images_per_batch": imgs,
+            "per_pixel_native": [h_raw, w_raw],
+            "note": "host-only: decode+rasterize+resize+batch, no device",
+        },
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "predict":
         predict_latency()
+    elif len(sys.argv) > 1 and sys.argv[1] == "input":
+        input_pipeline_throughput()
     else:
         steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
         main(steps=steps)

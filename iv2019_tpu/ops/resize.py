@@ -37,6 +37,7 @@ __all__ = [
     "resize_bilinear",
     "resize_bilinear_mxu",
     "resize_nearest",
+    "resize_nearest_hw",
     "resize_images",
     "resize_labels",
 ]
@@ -63,7 +64,8 @@ def _nearest_table(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     scale = _tf1_scale(in_size, out_size, align_corners)
     src = np.arange(out_size, dtype=np.float64) * scale
     if align_corners:
-        idx = np.round(src).astype(np.int64)
+        # TF uses roundf: half away from zero (NOT numpy's half-to-even)
+        idx = np.floor(src + 0.5).astype(np.int64)
     else:
         idx = np.floor(src).astype(np.int64)
     return np.clip(idx, 0, in_size - 1)
@@ -145,23 +147,34 @@ def resize_bilinear_mxu(images, size: Sequence[int], align_corners: bool = False
     return jnp.transpose(x, (0, 3, 2, 1))
 
 
-def resize_nearest(features, size: Sequence[int], align_corners: bool = False):
-    """TF1 nearest-neighbor resize along the two spatial axes.
-
-    Accepts NHW (labels) or NHWC tensors of any dtype; dtype is preserved.
-    """
+def _resize_nearest_axes(features, size, align_corners: bool, axis0: int):
     xp = _ns(features)
-    spatial_first_axis = 1 if features.ndim >= 3 else 0
-    in_h = features.shape[spatial_first_axis]
-    in_w = features.shape[spatial_first_axis + 1]
+    in_h = features.shape[axis0]
+    in_w = features.shape[axis0 + 1]
     out_h, out_w = int(size[0]), int(size[1])
     if (in_h, in_w) == (out_h, out_w):
         return features
     y_idx = _nearest_table(in_h, out_h, align_corners)
     x_idx = _nearest_table(in_w, out_w, align_corners)
-    out = xp.take(features, y_idx, axis=spatial_first_axis)
-    out = xp.take(out, x_idx, axis=spatial_first_axis + 1)
+    out = xp.take(features, y_idx, axis=axis0)
+    out = xp.take(out, x_idx, axis=axis0 + 1)
     return out
+
+
+def resize_nearest(features, size: Sequence[int], align_corners: bool = False):
+    """TF1 nearest-neighbor resize along the two spatial axes.
+
+    Batched convention: rank >= 3 is treated as N,H,W[,C] (leading batch
+    axis); rank 2 as H,W. For *unbatched* H,W,C tensors use
+    :func:`resize_nearest_hw`.
+    """
+    axis0 = 1 if features.ndim >= 3 else 0
+    return _resize_nearest_axes(features, size, align_corners, axis0)
+
+
+def resize_nearest_hw(features, size: Sequence[int], align_corners: bool = False):
+    """NN-resize with the spatial dims leading: H,W[,C] (single example)."""
+    return _resize_nearest_axes(features, size, align_corners, 0)
 
 
 def resize_images(images, size, method: str = "bilinear", align_corners: bool = False):
