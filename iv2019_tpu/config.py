@@ -327,6 +327,11 @@ def _add_train_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--use_nesterov", action="store_true")
     p.add_argument("--distribute", action="store_true")
+    # mixed-supervision sub-batch sizes (reference hard-codes 4/8/4 in
+    # train.py:62-64; exposed as flags here, with those defaults)
+    p.add_argument("--Nb_per_pixel", type=int, default=None)
+    p.add_argument("--Nb_per_bbox", type=int, default=None)
+    p.add_argument("--Nb_per_image", type=int, default=None)
     p.add_argument("--tfrecords_path_per_pixel", type=str, default="")
     p.add_argument("--dataset_directory", type=str, default="")
     p.add_argument("--openimages_image_dir", type=str, default="")

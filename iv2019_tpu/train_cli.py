@@ -49,10 +49,23 @@ def _add_extra_args(settings):
     return settings.replace(**extra)
 
 
+def _apply_sub_batch_overrides(settings, args):
+    """Explicit --Nb_per_* flags win over the hard-coded reference constants."""
+    overrides = {}
+    for k in ("Nb_per_pixel", "Nb_per_bbox", "Nb_per_image"):
+        v = getattr(args, k, None)
+        if v is not None:
+            overrides[k] = v
+    if overrides:
+        overrides["Nb"] = overrides.get("Nb_per_pixel", settings.Nb_per_pixel)
+        settings = settings.replace(**overrides)
+    return settings
+
+
 def main(argv):
     args = build_argparser(TRAIN).parse_args(argv)
     settings = settings_from_args(args, TRAIN)
-    settings = _add_extra_args(settings)
+    settings = _apply_sub_batch_overrides(_add_extra_args(settings), args)
     system = SemanticSegmentation({"train": train_input}, settings=settings)
     return system.train()
 

@@ -41,6 +41,18 @@ class TestTrainCli:
         assert s.Ntrain == 18000
         assert (s.height_feature_extractor, s.width_feature_extractor) == (621, 855)
 
+    def test_sub_batch_overrides(self):
+        from iv2019_tpu.train_cli import _add_extra_args, _apply_sub_batch_overrides
+
+        args = build_argparser(TRAIN).parse_args(
+            ["/tmp/log", "cityscapes", "--Nb_per_image", "0", "--Nb_per_pixel", "2"]
+        )
+        s = _apply_sub_batch_overrides(
+            _add_extra_args(settings_from_args(args, TRAIN)), args
+        )
+        assert (s.Nb_per_pixel, s.Nb_per_bbox, s.Nb_per_image) == (2, 8, 0)
+        assert s.Nb == 2
+
     def test_lr_flags(self):
         args = build_argparser(TRAIN).parse_args(
             ["/tmp/log", "cityscapes", "--learning_rate_values", "0.1", "0.05",
