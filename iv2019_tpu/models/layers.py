@@ -115,6 +115,9 @@ class Norm(nn.Module):
                 param_dtype=jnp.float32,
                 name="GroupNorm",
             )(x32)
+        elif self.norm_type == "none":
+            # identity: for perf probes / ablations only
+            y = x32
         else:
             raise ValueError(f"unknown norm_type {self.norm_type!r}")
         return y.astype(in_dtype)
