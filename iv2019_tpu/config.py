@@ -16,7 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 __all__ = ["Settings", "build_argparser", "settings_from_args", "TRAIN", "EVAL", "PREDICT"]
 

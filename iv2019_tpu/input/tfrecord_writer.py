@@ -9,7 +9,7 @@ readable by TensorFlow's reader as well as ours.
 from __future__ import annotations
 
 import struct
-from typing import Iterable, Mapping, Union
+from typing import Mapping, Union
 
 __all__ = ["TFRecordWriter", "encode_example", "masked_crc32c"]
 

@@ -22,7 +22,7 @@ parameters; normalization always runs in f32.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

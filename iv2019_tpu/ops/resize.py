@@ -26,7 +26,6 @@ work on numpy inputs for the host-side input pipeline.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

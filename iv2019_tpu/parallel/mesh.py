@@ -21,7 +21,7 @@ type's sub-batch separately: every device sees a proportional slice of
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import numpy as np

@@ -23,7 +23,7 @@ import glob
 import os
 from datetime import datetime
 from os.path import exists, isdir, join, split
-from typing import Any, Callable, Iterator, Mapping, Optional
+from typing import Callable, Iterator, Mapping, Optional
 
 import jax
 import numpy as np
@@ -31,7 +31,7 @@ import numpy as np
 from iv2019_tpu.config import Settings
 from iv2019_tpu.models.model import build_model
 from iv2019_tpu.parallel.mesh import create_mesh
-from iv2019_tpu.problem.problem_def import ProblemDef, load_problem_def
+from iv2019_tpu.problem.problem_def import load_problem_def
 from iv2019_tpu.train.optimizer import make_optimizer
 from iv2019_tpu.train.state import create_train_state
 from iv2019_tpu.train.step import make_eval_step, make_predict_step

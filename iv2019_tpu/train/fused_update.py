@@ -24,7 +24,7 @@ over the flat vector selects kernel entries.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

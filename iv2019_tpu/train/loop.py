@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Callable, Iterator, Optional
+from typing import Iterator, Optional
 
 import jax
 import numpy as np
@@ -27,7 +27,7 @@ import numpy as np
 from iv2019_tpu.config import Settings
 from iv2019_tpu.input.prefetch import device_prefetch
 from iv2019_tpu.parallel.mesh import create_mesh, replicate
-from iv2019_tpu.train.optimizer import make_learning_rate_fn, make_optimizer
+from iv2019_tpu.train.optimizer import make_optimizer
 from iv2019_tpu.train.state import TrainState, create_train_state
 from iv2019_tpu.train.step import make_train_step
 from iv2019_tpu.utils.checkpoint import CheckpointManager, warm_start_from_npz

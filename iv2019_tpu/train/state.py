@@ -19,7 +19,7 @@ no special cases — none of the reference's under-distribution restrictions
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

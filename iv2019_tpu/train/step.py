@@ -21,7 +21,6 @@ per-tower layout (get_temp_Nb contract).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Mapping, Optional
 
 import jax
@@ -29,7 +28,7 @@ import jax.numpy as jnp
 
 from iv2019_tpu.config import Settings
 from iv2019_tpu.losses.hierarchical import define_losses, l2_regularization
-from iv2019_tpu.models.model import HierarchicalSegmentationModel, build_model
+from iv2019_tpu.models.model import build_model
 from iv2019_tpu.ops.confusion import batch_mean_iou, confusion_matrix
 from iv2019_tpu.ops.resize import resize_bilinear, resize_nearest
 from iv2019_tpu.ops.segment_ops import gather_cids, remap_probabilities
