@@ -201,14 +201,22 @@ class SemanticSegmentation:
         num_eval_steps = max(int(s.Neval / max(s.Nb, 1)), 1)
         ckpt_steps = self._checkpoint_steps()
         all_metrics = []
+        from iv2019_tpu.input.prefetch import device_prefetch
+
+        from iv2019_tpu.parallel.mesh import replicate
+
         for step in ckpt_steps:
             params, batch_stats = self._restore_variables(model, step=step)
+            params, batch_stats = replicate((params, batch_stats), self.mesh)
             cm = None
-            for i, batch in enumerate(
-                self._input_fns["eval"](s, self.evaluation_problem_def)
-            ):
-                if i >= num_eval_steps:
-                    break
+            batches = (
+                b for i, b in enumerate(
+                    self._input_fns["eval"](s, self.evaluation_problem_def)
+                ) if i < num_eval_steps
+            )
+            # batches shard over the mesh data axis (multi-chip eval); the
+            # (K, K) partial matrices reduce when accumulated
+            for batch in device_prefetch(batches, self.mesh):
                 bcm = eval_fn(params, batch_stats, batch["proimages"], batch["prolabels"])
                 cm = bcm if cm is None else cm + bcm
             cm = np.asarray(jax.device_get(cm)).astype(np.int64)
