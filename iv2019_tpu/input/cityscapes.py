@@ -103,12 +103,13 @@ def evaluate_input(
         image, label, im_path, la_path = _parse_record(record)
         image = core.convert_image_dtype(image)
         label = core.map_lids_to_cids(label, lut)
-        proimage, _ = core.resize_images_and_labels(image, None, hw)
+        # labels are NN-resized to the feature-extractor size, like the
+        # reference's eval pipeline (input_cityscapes.py:201-203) — the
+        # confusion matrix is computed at (hf, wf)
+        proimage, prolabel = core.resize_images_and_labels(image, label, hw)
         return {
             "proimages": core.from_0_1_to_m1_1(proimage),
-            # labels stay at native size: decisions are NN-resized to the
-            # label size on device (define_estimator_hierarchical.py:183)
-            "prolabels": label,
+            "prolabels": prolabel,
             "rawimagespaths": im_path,
             "rawlabelspaths": la_path,
         }

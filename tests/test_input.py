@@ -155,6 +155,6 @@ class TestTfrecordPipeline:
         pd = load_problem_def(CITYSCAPES_JSON)
         batches = list(evaluate_input(s, pd))
         assert len(batches) == 2
-        # eval labels stay at native resolution
-        assert batches[0]["prolabels"].shape == (2, 64, 128)
+        # labels NN-resized to the feature size (reference eval protocol)
+        assert batches[0]["prolabels"].shape == (2, 32, 64)
         assert batches[0]["proimages"].shape == (2, 32, 64, 3)
