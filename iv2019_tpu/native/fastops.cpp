@@ -20,23 +20,25 @@
 extern "C" {
 
 // TF1 scale: (in-1)/(out-1) when align_corners and out > 1, else in/out.
-static inline double tf1_scale(int in_size, int out_size, int align) {
+// float (not double): TF computes scale and coordinates in float32, and
+// float64 differs at exact integer boundaries (off-by-one indices).
+static inline float tf1_scale(int in_size, int out_size, int align) {
   if (align && out_size > 1) {
-    return static_cast<double>(in_size - 1) / (out_size - 1);
+    return static_cast<float>(in_size - 1) / (out_size - 1);
   }
-  return static_cast<double>(in_size) / out_size;
+  return static_cast<float>(in_size) / out_size;
 }
 
 // Bilinear resize, NHWC single image (H, W, C) f32 -> (OH, OW, C) f32.
 void resize_bilinear_f32(const float* src, int h, int w, int c, float* dst,
                          int oh, int ow, int align) {
-  const double ys = tf1_scale(h, oh, align);
-  const double xs = tf1_scale(w, ow, align);
+  const float ys = tf1_scale(h, oh, align);
+  const float xs = tf1_scale(w, ow, align);
 
   std::vector<int> xlo(ow), xhi(ow);
   std::vector<float> xf(ow);
   for (int x = 0; x < ow; ++x) {
-    double sx = x * xs;
+    float sx = x * xs;
     int lo = std::min(static_cast<int>(std::floor(sx)), w - 1);
     if (lo < 0) lo = 0;
     xlo[x] = lo;
@@ -47,7 +49,7 @@ void resize_bilinear_f32(const float* src, int h, int w, int c, float* dst,
   std::vector<float> row(static_cast<size_t>(ow) * c);
   std::vector<float> row2(static_cast<size_t>(ow) * c);
   for (int y = 0; y < oh; ++y) {
-    double sy = y * ys;
+    float sy = y * ys;
     int ylo = std::min(static_cast<int>(std::floor(sy)), h - 1);
     if (ylo < 0) ylo = 0;
     int yhi = std::min(ylo + 1, h - 1);
@@ -75,17 +77,17 @@ void resize_bilinear_f32(const float* src, int h, int w, int c, float* dst,
 // element-size-agnostic array: (H, W, E) bytes -> (OH, OW, E).
 void resize_nearest_bytes(const uint8_t* src, int h, int w, int elem_bytes,
                           uint8_t* dst, int oh, int ow, int align) {
-  const double ys = tf1_scale(h, oh, align);
-  const double xs = tf1_scale(w, ow, align);
+  const float ys = tf1_scale(h, oh, align);
+  const float xs = tf1_scale(w, ow, align);
   std::vector<int> xi(ow);
   for (int x = 0; x < ow; ++x) {
-    double sx = x * xs;
+    float sx = x * xs;
     int idx = align ? static_cast<int>(std::lround(sx))
                     : static_cast<int>(std::floor(sx));
     xi[x] = std::min(std::max(idx, 0), w - 1);
   }
   for (int y = 0; y < oh; ++y) {
-    double sy = y * ys;
+    float sy = y * ys;
     int yi = align ? static_cast<int>(std::lround(sy))
                    : static_cast<int>(std::floor(sy));
     yi = std::min(std::max(yi, 0), h - 1);

@@ -42,16 +42,18 @@ __all__ = [
 ]
 
 
-def _tf1_scale(in_size: int, out_size: int, align_corners: bool) -> float:
+def _tf1_scale(in_size: int, out_size: int, align_corners: bool) -> np.float32:
+    """TF computes the scale AND coordinates in float32 — float64 here gives
+    off-by-one indices at exact integer boundaries (e.g. 11 * (30/22))."""
     if align_corners and out_size > 1:
-        return (in_size - 1) / (out_size - 1)
-    return in_size / out_size
+        return np.float32(in_size - 1) / np.float32(out_size - 1)
+    return np.float32(in_size) / np.float32(out_size)
 
 
 def _bilinear_tables(in_size: int, out_size: int, align_corners: bool):
     """(lo_idx, hi_idx, frac) numpy tables for one axis, TF1 semantics."""
     scale = _tf1_scale(in_size, out_size, align_corners)
-    src = np.arange(out_size, dtype=np.float64) * scale
+    src = np.arange(out_size, dtype=np.float32) * scale
     lo = np.floor(src).astype(np.int64)
     lo = np.clip(lo, 0, in_size - 1)
     hi = np.minimum(lo + 1, in_size - 1)
@@ -61,10 +63,10 @@ def _bilinear_tables(in_size: int, out_size: int, align_corners: bool):
 
 def _nearest_table(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
     scale = _tf1_scale(in_size, out_size, align_corners)
-    src = np.arange(out_size, dtype=np.float64) * scale
+    src = np.arange(out_size, dtype=np.float32) * scale
     if align_corners:
         # TF uses roundf: half away from zero (NOT numpy's half-to-even)
-        idx = np.floor(src + 0.5).astype(np.int64)
+        idx = np.floor(src + np.float32(0.5)).astype(np.int64)
     else:
         idx = np.floor(src).astype(np.int64)
     return np.clip(idx, 0, in_size - 1)
