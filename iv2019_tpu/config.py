@@ -76,6 +76,15 @@ class Settings:
     preserve_aspect_ratio_per_image: bool = True
     preserve_aspect_ratio: bool = False
 
+    # -- augmentation (reference preprocessing/augmentation_library.py; the
+    #    reference keeps the call sites disabled at input_cityscapes.py:104-120,
+    #    so the default here is off = reference parity). Applied on device to
+    #    the per-pixel sub-batch inside the train step, in the reference
+    #    call-site order: color, blur, flip, scale.
+    augmentations: tuple[str, ...] = ()  # subset of {color, blur, flip, scale}
+    scaling_poi: tuple[float, float] = (1.0, 2.0)  # reference call-site value
+    random_seed: int = 0
+
     # -- model (resnet50_extended_model_hierarchical.py:228-269) -----------
     name_feature_extractor: str = "resnet_v1_50"
     stride_feature_extractor: int = 8
@@ -332,6 +341,11 @@ def _add_train_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--Nb_per_pixel", type=int, default=None)
     p.add_argument("--Nb_per_bbox", type=int, default=None)
     p.add_argument("--Nb_per_image", type=int, default=None)
+    p.add_argument("--augmentations", type=str, default="",
+                   help="comma list from {color,blur,flip,scale}; default off "
+                        "(reference parity: call sites disabled, "
+                        "input_cityscapes.py:104-120)")
+    p.add_argument("--random_seed", type=int, default=0)
     p.add_argument("--tfrecords_path_per_pixel", type=str, default="")
     p.add_argument("--dataset_directory", type=str, default="")
     p.add_argument("--openimages_image_dir", type=str, default="")
@@ -396,6 +410,10 @@ def settings_from_args(args: argparse.Namespace, mode: str, **extra: Any) -> Set
     for k in ("learning_rate_boundaries", "learning_rate_values", "predict_keys"):
         if k in kw and isinstance(kw[k], list):
             kw[k] = tuple(kw[k])
+    if isinstance(kw.get("augmentations"), str):
+        kw["augmentations"] = tuple(
+            a.strip() for a in kw["augmentations"].split(",") if a.strip()
+        )
     kw.update(extra)
     kw["mode"] = mode
     return Settings(**kw)

@@ -33,13 +33,47 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "apply_augmentations",
     "random_flipping",
     "random_scaling",
     "random_upscaling",
     "random_downscaling",
     "random_color",
     "random_blur",
+    "VALID_AUGMENTATIONS",
 ]
+
+VALID_AUGMENTATIONS = ("color", "blur", "flip", "scale")
+
+
+def apply_augmentations(key, images, labels, names, unlabeled_cid: int,
+                        poi=(1.0, 2.0)):
+    """Apply the selected augmentations to a (images, int-labels) batch.
+
+    Order matches the reference call site (input_cityscapes.py:104-120):
+    color, blur, flip, scale. ``images`` are in [-1, 1) (post-centering);
+    the color distortions run in [0, 1] exactly as the reference applies
+    them before ``from_0_1_to_m1_1``. ``poi`` is the scaling factor range
+    (reference call-site constant [1.0, 2.0]); ``unlabeled_cid`` pads labels
+    revealed by downscaling (reference: max(training_lids2cids)).
+    """
+    names = tuple(names)
+    unknown = set(names) - set(VALID_AUGMENTATIONS)
+    if unknown:
+        raise ValueError(f"unknown augmentations {sorted(unknown)}; "
+                         f"valid: {VALID_AUGMENTATIONS}")
+    k_color, k_blur, k_flip, k_scale = jax.random.split(key, 4)
+    if "color" in names:
+        images = random_color(k_color, (images + 1.0) * 0.5) * 2.0 - 1.0
+    if "blur" in names:
+        images = random_blur(k_blur, images)
+    if "flip" in names:
+        images, labels = random_flipping(k_flip, images, labels)
+    if "scale" in names:
+        images, labels = random_scaling(
+            k_scale, images, labels, tuple(poi), unlabeled_cid
+        )
+    return images, labels
 
 
 # --- geometric: warp helpers ----------------------------------------------

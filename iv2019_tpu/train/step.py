@@ -69,11 +69,28 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
     ema_decay = settings.ema_decay
     # output_Nclasses equals the common fused label space for these problems
     num_classes = tax.num_common_classes
+    augmentations = tuple(settings.augmentations)
+    # unlabeled cid for label padding = void cid of the per-pixel space
+    # (reference call site: max(_replacevoids(training lids2cids)))
+    unlabeled_cid = len(tax.per_pixel_cids2l1_cids) - 1
+    scaling_poi = tuple(settings.scaling_poi)
+    aug_seed = settings.random_seed
 
     def train_step(state: TrainState, batch: Mapping[str, Any]):
+        pp_images = batch["proimages_per_pixel"]
+        pp_labels = batch["prolabels_per_pixel"]
+        if augmentations:
+            # on-device, batched, deterministic per (seed, step)
+            from iv2019_tpu.ops.augment import apply_augmentations
+
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), state.step)
+            pp_images, pp_labels = apply_augmentations(
+                key, pp_images, pp_labels, augmentations, unlabeled_cid,
+                scaling_poi,
+            )
         images = jnp.concatenate(
             [
-                batch["proimages_per_pixel"],
+                pp_images,
                 batch["proimages_per_bbox"],
                 batch["proimages_per_image"],
             ],
@@ -90,11 +107,11 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
         else:
             prolabels_per_bbox = batch["prolabels_per_bbox"]
         labels = {
-            "prolabels_per_pixel": batch["prolabels_per_pixel"],
+            "prolabels_per_pixel": pp_labels,
             "prolabels_per_bbox": prolabels_per_bbox,
             "prolabels_per_image": batch["prolabels_per_image"],
         }
-        n_pp = batch["prolabels_per_pixel"].shape[0]
+        n_pp = pp_labels.shape[0]
 
         def loss_fn(params):
             preds, new_batch_stats = forward(model, params, state.batch_stats, images, True)
