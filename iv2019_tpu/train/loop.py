@@ -73,6 +73,13 @@ class MetricsLogger:
             self._tb.close()
 
 
+def default_profile_every(settings: Settings, num_steps: int) -> int:
+    """Reference _RunMetadataHook cadence: every
+    max(num_training_steps//50, save_checkpoints_steps) steps
+    (define_estimator_hierarchical.py:446-449)."""
+    return max(num_steps // 50, settings.save_checkpoints_steps or 1)
+
+
 def train(
     settings: Settings,
     batch_iterator: Iterator[dict],
@@ -81,10 +88,17 @@ def train(
     mesh=None,
     log_every: int = 20,
     profile_steps: Optional[tuple[int, int]] = None,
+    profile_every: Optional[int] = None,
     max_steps: Optional[int] = None,
     image_summaries: bool = True,
 ) -> TrainState:
-    """Run training to settings.num_training_steps; returns the final state."""
+    """Run training to settings.num_training_steps; returns the final state.
+
+    ``profile_every=N`` traces one step every N steps into
+    ``log_dir/profile/step_K`` (the reference's automatic Chrome traces,
+    _RunMetadataHook); ``profile_steps=(a, b)`` traces the explicit window
+    [a, b) instead. system.train() passes the reference's default cadence.
+    """
     mesh = mesh or create_mesh(settings.num_devices)
     tx, lr_fn = make_optimizer(settings)
     model_settings = settings.replace(mode="train")
@@ -174,13 +188,24 @@ def train(
         step = int(state.step)
         if step >= num_steps:
             break
+        tracing = False
         if profile_steps and step == profile_steps[0]:
             jax.profiler.start_trace(os.path.join(settings.log_dir, "profile"))
+        elif profile_every and step > 0 and step % profile_every == 0:
+            # automatic periodic single-step trace (reference _RunMetadataHook)
+            jax.profiler.start_trace(
+                os.path.join(settings.log_dir, "profile", f"step_{step}")
+            )
+            tracing = True
         state, metrics = step_fn(state, {
             k: v for k, v in batch.items() if not isinstance(v, list)
         })
         step += 1
-        if profile_steps and step == profile_steps[1]:
+        weight_masks = metrics.pop("weight_masks", None)
+        if tracing:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+        elif profile_steps and step == profile_steps[1]:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
         if step % log_every == 0 or step == num_steps:
@@ -201,13 +226,22 @@ def train(
                     jax.device_get(batch["prolabels_per_pixel"][0])
                 )
                 k = len(palette)
-                logger.log_images(step, {
+                images = {
                     "proimage": np.asarray(
                         (jax.device_get(img)[0] + 1.0) * 127.5
                     ).astype(np.uint8),
                     "decisions": palette[np.clip(decs, 0, k - 1)],
                     "prolabels": palette[np.clip(labels_img, 0, k - 1)],
-                })
+                }
+                if weight_masks is not None:
+                    # loss weight masks — the main debugging view of the
+                    # paper's gating mechanism (reference tf.summary.image
+                    # 'l{1,2_*}_weights', define_losses_hierarchical.py:
+                    # 140,167,187)
+                    for name, m in jax.device_get(weight_masks).items():
+                        m8 = (np.clip(np.asarray(m), 0.0, 1.0) * 255).astype(np.uint8)
+                        images[f"debug/{name}"] = m8[..., None]
+                logger.log_images(step, images)
             except Exception:
                 pass
         if step % save_every == 0 or step == num_steps:

@@ -156,6 +156,18 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
             "regularization": reg,
             "miou": miou,
         }
+        # loss weight masks for TB image summaries (reference
+        # define_losses_hierarchical.py:140,167,187): one per-pixel example
+        # for L1, one weak example for the gated L2 heads (where the paper's
+        # decision gating is visible). Already computed for the loss, so
+        # this costs only the kept buffers.
+        n_total = images.shape[0]
+        weak_ix = n_pp if n_total > n_pp else 0
+        metrics["weight_masks"] = {
+            "l1_weights": losses["l1_weights"][0],
+            "l2_vehicle_weights": losses["l2_vehicle_weights"][weak_ix],
+            "l2_human_weights": losses["l2_human_weights"][weak_ix],
+        }
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))

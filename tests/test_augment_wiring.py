@@ -67,6 +67,7 @@ def _run_one_step(settings, batch):
     state = create_train_state(variables, tx, settings.ema_decay)
     step = make_train_step(settings, model=model, tx=tx)
     new_state, metrics = step(state, batch)
+    metrics.pop("weight_masks", None)
     return new_state, {k: float(v) for k, v in metrics.items()}
 
 

@@ -30,6 +30,7 @@ def test_three_step_descent_and_state_evolution():
     totals = []
     for i in range(3):
         state, metrics = step_fn(state, batch)
+        metrics.pop("weight_masks", None)
         m = {k: float(v) for k, v in metrics.items()}
         assert np.isfinite(m["total"]), f"step {i}: non-finite loss"
         assert m["total"] > 0
