@@ -36,6 +36,7 @@ from iv2019_tpu.problem.problem_def import replace_voids
 from iv2019_tpu.problem.taxonomy import get_taxonomy
 from iv2019_tpu.train.optimizer import make_optimizer
 from iv2019_tpu.train.state import TrainState
+from iv2019_tpu.utils.compile import jit as tuned_jit
 
 __all__ = ["make_train_step", "make_eval_step", "make_predict_step", "forward"]
 
@@ -170,7 +171,7 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
         }
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return tuned_jit(train_step, donate_argnums=(0,))
 
 
 def make_eval_step(settings: Settings, model=None, tcids2ecids=None) -> Callable:
@@ -209,7 +210,7 @@ def make_eval_step(settings: Settings, model=None, tcids2ecids=None) -> Callable
         decs = resize_nearest(decs, label_hw, align_corners=True)
         return confusion_matrix(prolabels, decs, num_eval_classes)
 
-    return jax.jit(eval_step)
+    return tuned_jit(eval_step)
 
 
 def settings_eval_map(settings: Settings):
@@ -283,4 +284,4 @@ def make_predict_step(
             out["decisions"] = _replace_void_decisions(common_probs, out["decisions"])
         return out
 
-    return jax.jit(predict_step)
+    return tuned_jit(predict_step)
