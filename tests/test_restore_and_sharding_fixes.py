@@ -112,6 +112,11 @@ def test_prefetch_replication_warns():
     mesh = create_mesh()  # 8 virtual CPU devices (conftest)
     if mesh.size == 1:
         pytest.skip("single-device mesh")
+    # the warning fires once per (name, dim, mesh) key; reset so earlier
+    # tests that also hit the fallback don't mask this one
+    import iv2019_tpu.input.prefetch as prefetch_mod
+
+    prefetch_mod._warned_replication.clear()
     batch = {"x": np.zeros((3, 4), np.float32)}
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
