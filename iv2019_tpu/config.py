@@ -111,6 +111,12 @@ class Settings:
     # hand-written Pallas kernel for the fused optimizer update
     # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
     pallas_update: bool = True
+    # Pallas-fused upsample+softmax-CE+gates loss kernel (ops/fused_loss.py):
+    # computes the reference losses from stride-8 logits tile-wise in VMEM
+    # without materializing full-resolution f32 logit tensors (identical
+    # math, tested). Applies to training with bilinear upsampling; runs in
+    # interpreter mode off-TPU.
+    fused_loss: bool = True
     # grouped-conv execution of the 3 adaptation branches + heads (identical
     # math, 3x fewer kernels; different parameter layout than unfused)
     fuse_adaptation: bool = False

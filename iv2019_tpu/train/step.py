@@ -41,6 +41,53 @@ from iv2019_tpu.utils.compile import jit as tuned_jit
 __all__ = ["make_train_step", "make_eval_step", "make_predict_step", "forward"]
 
 
+def _summary_weight_masks(labels, l1_decisions, tax, weak_ix):
+    """Loss weight masks recomputed for one example per head (summaries only;
+    the fused kernel consumes the full-batch weights internally)."""
+    import jax.numpy as jnp
+
+    from iv2019_tpu.ops.segment_ops import segment_sum_channels
+
+    pp = labels["prolabels_per_pixel"]
+    l1_mask = (
+        gather_cids(tax.per_pixel_cids2l1_cids, pp[0]) != tax.num_l1_classes - 1
+    ).astype(jnp.float32)
+    pb = labels["prolabels_per_bbox"]
+    pi = labels["prolabels_per_image"]
+    if pb.shape[0] or pi.shape[0]:
+        weak0 = pb[0] if pb.shape[0] else pi[0]
+
+        def _weak_mask(table, num, cid):
+            lab = segment_sum_channels(weak0[None], table, num)[0]
+            not_void = (1.0 - lab[..., -1]) > 0.01
+            gate = jnp.logical_and(
+                l1_decisions[weak_ix] == cid,
+                jnp.max(lab[..., :-1], axis=-1) >= 0.01,
+            )
+            return jnp.logical_and(not_void, gate).astype(jnp.float32)
+
+        veh = _weak_mask(
+            tax.per_bbox_cids2vehicle_cids, tax.num_vehicle_classes, tax.cid_l1_vehicle
+        )
+        hum = _weak_mask(
+            tax.per_bbox_cids2human_cids, tax.num_human_classes, tax.cid_l1_human
+        )
+    else:
+        veh = (
+            gather_cids(tax.per_pixel_cids2vehicle_cids, pp[0])
+            != tax.num_vehicle_classes - 1
+        ).astype(jnp.float32)
+        hum = (
+            gather_cids(tax.per_pixel_cids2human_cids, pp[0])
+            != tax.num_human_classes - 1
+        ).astype(jnp.float32)
+    return {
+        "l1_weights": l1_mask,
+        "l2_vehicle_weights": veh,
+        "l2_human_weights": hum,
+    }
+
+
 def forward(model, params, batch_stats, images, train: bool):
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
@@ -66,6 +113,15 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
     if tx is None and not fused:
         tx, _ = make_optimizer(settings)
     tax = get_taxonomy(settings.per_pixel_dataset_name)
+    # fused Pallas loss: run the model to stride-8 logits only (the x8
+    # upsample + CE + gates happen tile-wise in VMEM, ops/fused_loss.py).
+    # Parameter structure is identical (the bilinear upsampler is
+    # parameter-free), so checkpoints/eval/predict are unaffected.
+    use_fused_loss = (
+        settings.fused_loss
+        and getattr(model, "upsampling_method", None) == "bilinear"
+    )
+    loss_model = model.clone(upsampling_method="no") if use_fused_loss else model
     reg_weight = settings.regularization_weight
     ema_decay = settings.ema_decay
     # output_Nclasses equals the common fused label space for these problems
@@ -115,17 +171,28 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
         n_pp = pp_labels.shape[0]
 
         def loss_fn(params):
-            preds, new_batch_stats = forward(model, params, state.batch_stats, images, True)
-            losses = define_losses(preds, labels, tax)
+            preds, new_batch_stats = forward(
+                loss_model, params, state.batch_stats, images, True
+            )
+            if use_fused_loss:
+                from iv2019_tpu.ops.fused_loss import define_losses_fused
+
+                losses = define_losses_fused(
+                    preds, labels, tax, images.shape[1:3]
+                )
+                decisions = losses["decisions"]
+            else:
+                losses = define_losses(preds, labels, tax)
+                decisions = preds["decisions"]
             if fused:
                 total = losses["total"]  # reg gradient added by the optimizer
                 reg = 0.0
             else:
                 reg = l2_regularization(params, reg_weight)
                 total = losses["total"] + reg
-            return total, (losses, reg, new_batch_stats, preds)
+            return total, (losses, reg, new_batch_stats, decisions)
 
-        (total, (losses, reg, new_batch_stats, preds)), grads = jax.value_and_grad(
+        (total, (losses, reg, new_batch_stats, decisions)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
@@ -147,7 +214,7 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
 
         # online batch mIoU on the per-pixel slice (reference define_metrics)
         miou = batch_mean_iou(
-            labels["prolabels_per_pixel"], preds["decisions"][:n_pp], num_classes
+            labels["prolabels_per_pixel"], decisions[:n_pp], num_classes
         )
         metrics = {
             "total": total,
@@ -160,15 +227,19 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
         # loss weight masks for TB image summaries (reference
         # define_losses_hierarchical.py:140,167,187): one per-pixel example
         # for L1, one weak example for the gated L2 heads (where the paper's
-        # decision gating is visible). Already computed for the loss, so
-        # this costs only the kept buffers.
+        # decision gating is visible).
         n_total = images.shape[0]
         weak_ix = n_pp if n_total > n_pp else 0
-        metrics["weight_masks"] = {
-            "l1_weights": losses["l1_weights"][0],
-            "l2_vehicle_weights": losses["l2_vehicle_weights"][weak_ix],
-            "l2_human_weights": losses["l2_human_weights"][weak_ix],
-        }
+        if use_fused_loss:
+            metrics["weight_masks"] = _summary_weight_masks(
+                labels, losses["l1_decisions"], tax, weak_ix
+            )
+        else:
+            metrics["weight_masks"] = {
+                "l1_weights": losses["l1_weights"][0],
+                "l2_vehicle_weights": losses["l2_vehicle_weights"][weak_ix],
+                "l2_human_weights": losses["l2_human_weights"][weak_ix],
+            }
         return new_state, metrics
 
     return tuned_jit(train_step, donate_argnums=(0,))

@@ -1,0 +1,155 @@
+"""Fused Pallas loss kernel vs the reference jnp composition.
+
+The fused kernel (ops/fused_loss.py) must reproduce losses/hierarchical.
+define_losses applied to resize_bilinear_mxu-upsampled logits — values,
+decisions, and gradients w.r.t. the stride-8 logits. Runs in Pallas
+interpreter mode on the CPU test mesh; the same code compiles with Mosaic
+on TPU (exercised by bench.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iv2019_tpu.losses.hierarchical import WEAK_LOSS_COEFFICIENT, define_losses
+from iv2019_tpu.ops.fused_loss import define_losses_fused
+from iv2019_tpu.ops.resize import resize_bilinear_mxu
+from iv2019_tpu.ops.segment_ops import gather_cids
+from iv2019_tpu.problem.taxonomy import NUM_WEAK_CLASSES, get_taxonomy
+
+
+def _inputs(tax, seed, n_pp, n_pb, n_pi, h=8, w=16, scale=4):
+    rng = np.random.RandomState(seed)
+    n = n_pp + n_pb + n_pi
+    H, W = h * scale, w * scale
+    npp_classes = len(tax.per_pixel_cids2l1_cids)
+    lr = {
+        "l1_logits": rng.randn(n, h, w, tax.num_l1_classes).astype(np.float32) * 2,
+        "l2_vehicle_logits": rng.randn(n, h, w, tax.num_vehicle_classes).astype(np.float32) * 2,
+        "l2_human_logits": rng.randn(n, h, w, tax.num_human_classes).astype(np.float32) * 2,
+    }
+
+    def weak(nb):
+        lab = rng.rand(nb, H, W, NUM_WEAK_CLASSES).astype(np.float32) ** 4
+        # sparsify + include exact-void pixels
+        lab[lab < 0.3] = 0.0
+        void = rng.rand(nb, H, W) < 0.25
+        lab[void] = 0.0
+        lab[void, -1] = 1.0
+        s = lab.sum(-1, keepdims=True)
+        empty = s[..., 0] == 0
+        lab[empty, -1] = 1.0
+        s = lab.sum(-1, keepdims=True)
+        return lab / s
+
+    labels = {
+        "prolabels_per_pixel": rng.randint(0, npp_classes, (n_pp, H, W)).astype(np.int32),
+        "prolabels_per_bbox": weak(n_pb),
+        "prolabels_per_image": weak(n_pi),
+    }
+    return lr, labels, (H, W)
+
+
+def _reference(lr, labels, tax, out_hw):
+    """The existing jnp path: upsample -> argmax -> define_losses."""
+    preds = {
+        k: resize_bilinear_mxu(jnp.asarray(v), out_hw, align_corners=True)
+        for k, v in lr.items()
+    }
+    preds["l1_decisions"] = jnp.argmax(preds["l1_logits"], -1).astype(jnp.int32)
+    return define_losses(preds, {k: jnp.asarray(v) for k, v in labels.items()}, tax)
+
+
+@pytest.mark.parametrize("dataset", ["cityscapes", "vistas"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_matches_reference(dataset, seed):
+    tax = get_taxonomy(dataset)
+    lr, labels, out_hw = _inputs(tax, seed, n_pp=2, n_pb=2, n_pi=1)
+    want = _reference(lr, labels, tax, out_hw)
+    got = define_losses_fused(
+        {k: jnp.asarray(v) for k, v in lr.items()},
+        {k: jnp.asarray(v) for k, v in labels.items()},
+        tax, out_hw, interpret=True,
+    )
+    for k in ("total", "l1_segmentation", "l2_vehicle_segmentation",
+              "l2_human_segmentation"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=5e-5, atol=5e-6, err_msg=k
+        )
+
+
+def test_fused_decisions_match_model_fusion():
+    tax = get_taxonomy("cityscapes")
+    lr, labels, out_hw = _inputs(tax, 3, n_pp=1, n_pb=1, n_pi=0)
+    preds = {
+        k: resize_bilinear_mxu(jnp.asarray(v), out_hw, align_corners=True)
+        for k, v in lr.items()
+    }
+    l1d = jnp.argmax(preds["l1_logits"], -1).astype(jnp.int32)
+    vd = jnp.argmax(preds["l2_vehicle_logits"], -1).astype(jnp.int32)
+    hd = jnp.argmax(preds["l2_human_logits"], -1).astype(jnp.int32)
+    want = jnp.where(
+        l1d == tax.cid_l1_vehicle,
+        gather_cids(tax.l2_vehicle_cids2common_cids, vd),
+        jnp.where(
+            l1d == tax.cid_l1_human,
+            gather_cids(tax.l2_human_cids2common_cids, hd),
+            gather_cids(tax.l1_cids2common_cids, l1d),
+        ),
+    )
+    got = define_losses_fused(
+        {k: jnp.asarray(v) for k, v in lr.items()},
+        {k: jnp.asarray(v) for k, v in labels.items()},
+        tax, out_hw, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got["decisions"]), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got["l1_decisions"]), np.asarray(l1d))
+
+
+@pytest.mark.parametrize("dataset", ["cityscapes"])
+def test_fused_gradients_match_reference(dataset):
+    tax = get_taxonomy(dataset)
+    lr, labels, out_hw = _inputs(tax, 5, n_pp=2, n_pb=1, n_pi=1)
+    labels_j = {k: jnp.asarray(v) for k, v in labels.items()}
+
+    def ref_total(l1, veh, hum):
+        losses = _reference(
+            {"l1_logits": l1, "l2_vehicle_logits": veh, "l2_human_logits": hum},
+            labels, tax, out_hw,
+        )
+        return losses["total"]
+
+    def fused_total(l1, veh, hum):
+        losses = define_losses_fused(
+            {"l1_logits": l1, "l2_vehicle_logits": veh, "l2_human_logits": hum},
+            labels_j, tax, out_hw, interpret=True,
+        )
+        return losses["total"]
+
+    args = tuple(jnp.asarray(lr[k]) for k in
+                 ("l1_logits", "l2_vehicle_logits", "l2_human_logits"))
+    want = jax.grad(ref_total, argnums=(0, 1, 2))(*args)
+    got = jax.grad(fused_total, argnums=(0, 1, 2))(*args)
+    for g, wgrad, name in zip(got, want, ("l1", "veh", "hum")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wgrad), rtol=1e-4, atol=1e-6, err_msg=name
+        )
+
+
+def test_fused_no_weak_images():
+    tax = get_taxonomy("cityscapes")
+    lr, labels, out_hw = _inputs(tax, 7, n_pp=2, n_pb=0, n_pi=0)
+    want = _reference(lr, labels, tax, out_hw)
+    got = define_losses_fused(
+        {k: jnp.asarray(v) for k, v in lr.items()},
+        {k: jnp.asarray(v) for k, v in labels.items()},
+        tax, out_hw, interpret=True,
+    )
+    np.testing.assert_allclose(float(got["total"]), float(want["total"]), rtol=5e-5)
+    # the weak-gated heads see only per-pixel pixels
+    np.testing.assert_allclose(
+        float(got["l2_vehicle_segmentation"]),
+        float(want["l2_vehicle_segmentation"]), rtol=5e-5,
+    )
