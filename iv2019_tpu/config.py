@@ -108,6 +108,9 @@ class Settings:
     # run dilated backbone blocks as dense convs over phase-decomposed grids
     # (identical results; TPU-friendly layout — see models/resnet.py)
     dilation_mode: str = "dilated"  # | "space_to_batch" (identical results)
+    # execute the 7x7/2 root conv as a 4x4/1 conv on 2x2 space-to-depth
+    # input (identical math, same parameter; models/resnet.RootConvS2D)
+    root_conv_s2d: bool = False
     # hand-written Pallas kernel for the fused optimizer update
     # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
     pallas_update: bool = True

@@ -81,6 +81,7 @@ class HierarchicalSegmentationModel(nn.Module):
     psp_module: bool = False
     upsampling_method: str = "bilinear"
     dilation_mode: str = "dilated"  # | "space_to_batch" (identical results)
+    root_conv_s2d: bool = False  # space-to-depth root conv (identical math)
     # run the 3 adaptation branches + logit heads as grouped convs (3x fewer
     # kernels, identical math — BatchNorm is per-channel)
     fuse_adaptation: bool = False
@@ -116,6 +117,7 @@ class HierarchicalSegmentationModel(nn.Module):
             momentum=self.batch_norm_decay,
             use_running_average=not self.accumulate_norm_statistics,
             dilation_mode=self.dilation_mode,
+            root_conv_s2d=self.root_conv_s2d,
             dtype=self.dtype,
             name="feature_extractor/base",
         )(x)
@@ -285,6 +287,7 @@ def build_model(settings: Settings) -> HierarchicalSegmentationModel:
         psp_module=settings.psp_module,
         upsampling_method=settings.upsampling_method,
         dilation_mode=settings.dilation_mode,
+        root_conv_s2d=settings.root_conv_s2d,
         fuse_adaptation=settings.fuse_adaptation,
         norm_type=settings.norm_layer,
         batch_norm_decay=settings.batch_norm_decay,

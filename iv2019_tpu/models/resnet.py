@@ -22,9 +22,10 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from iv2019_tpu.models.layers import BottleneckV1, ConvSame, Norm
+import jax
+from iv2019_tpu.models.layers import BottleneckV1, ConvSame, Norm, variance_scaling_init
 
-__all__ = ["ResNetV1", "RESNET50_BLOCKS"]
+__all__ = ["ResNetV1", "RESNET50_BLOCKS", "RootConvS2D"]
 
 # (num_units, depth, depth_bottleneck); stride 2 on last unit (blocks 1-3)
 RESNET50_BLOCKS: tuple[tuple[int, int, int], ...] = (
@@ -102,6 +103,66 @@ def _batch_to_space(x, f: int):
     return x.reshape(n, h * f, w * f, c)
 
 
+class _RootKernel(nn.Module):
+    """Holds the 7x7 root kernel under the name 'conv/kernel' so the
+    parameter path matches ConvSame exactly (checkpoint compatibility)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", variance_scaling_init, self.shape, jnp.float32)
+
+
+class RootConvS2D(nn.Module):
+    """Root 7x7/2 conv executed as a 4x4/1 conv on 2x2 space-to-depth input.
+
+    The standard TPU fix for the C=3 first layer (the conv emitter wastes
+    the MXU's input-feature lanes on 3 channels): zero-pad the 7x7 kernel to
+    8x8 and fold the stride-2 phase into channels, giving a dense stride-1
+    conv with 12 input channels. Exactly the same linear map as
+    ``ConvSame(64, 7, 2)`` including the conv2d_same (3, 3) padding — the
+    parameter stays a (7, 7, 3, 64) tensor at the same tree path, so
+    checkpoints and slim warm starts are unaffected (tested).
+    """
+
+    features: int = 64
+    kernel_size: int = 7
+    stride: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.stride == 2 and self.kernel_size % 2 == 1
+        c = x.shape[-1]
+        k = _RootKernel((self.kernel_size, self.kernel_size, c, self.features),
+                        name="conv")()
+        f = self.stride
+        ks8 = self.kernel_size + 1
+        pad = (self.kernel_size - 1) // 2  # conv2d_same: symmetric keff-1
+        k8 = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = (
+            k8.reshape(ks8 // f, f, ks8 // f, f, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(ks8 // f, ks8 // f, f * f * c, self.features)
+        )
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        n, hp, wp, _ = x.shape
+        x = (
+            x.reshape(n, hp // f, f, wp // f, f, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, hp // f, wp // f, f * f * c)
+        )
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k4.astype(self.dtype),
+            (1, 1),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+
+
 class ResNetV1(nn.Module):
     """Fully-convolutional dilated ResNet-v1 (50-layer default).
 
@@ -119,6 +180,7 @@ class ResNetV1(nn.Module):
     momentum: float = 0.9
     use_running_average: bool = True
     dilation_mode: str = "dilated"  # | "space_to_batch"
+    root_conv_s2d: bool = False  # space-to-depth root conv (identical math)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -130,7 +192,10 @@ class ResNetV1(nn.Module):
             dtype=self.dtype,
         )
         # root (slim names: resnet_v1_50/conv1)
-        x = ConvSame(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+        if self.root_conv_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = RootConvS2D(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = ConvSame(64, 7, 2, dtype=self.dtype, name="conv1")(x)
         x = Norm(
             norm_type=self.norm_type,
             momentum=self.momentum,

@@ -98,3 +98,46 @@ def test_resnet50_shapes():
     y, eps = model.apply(variables, x)
     assert y.shape == (1, 8, 16, 64)  # stride 8
     assert "root" in eps and "block1" in eps
+
+
+class TestRootConvS2D:
+    """Space-to-depth root conv: identical math + identical parameter tree."""
+
+    def test_equivalence_and_param_path(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from iv2019_tpu.models.layers import ConvSame
+        from iv2019_tpu.models.resnet import RootConvS2D
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+        ref = ConvSame(64, 7, 2, dtype=jnp.float32)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        s2d = RootConvS2D(64, 7, 2, dtype=jnp.float32)
+        # same tree: a ConvSame checkpoint loads directly
+        vs = s2d.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vs)
+        assert v["params"]["conv"]["kernel"].shape == (7, 7, 3, 64)
+        y_ref = ref.apply(v, x)
+        y_s2d = s2d.apply(v, x)
+        assert y_s2d.shape == y_ref.shape
+        np.testing.assert_allclose(
+            np.asarray(y_s2d), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_odd_input_falls_back(self):
+        import jax
+        import jax.numpy as jnp
+
+        from iv2019_tpu.models.resnet import ResNetV1
+
+        m = ResNetV1(
+            blocks=((1, 8, 4),), output_stride=4, root_conv_s2d=True,
+            use_running_average=True, dtype=jnp.float32,
+        )
+        x = jnp.zeros((1, 33, 31, 3), jnp.float32)  # odd dims -> ConvSame path
+        v = m.init(jax.random.PRNGKey(0), x)
+        y, _ = m.apply(v, x)
+        assert y.shape[0] == 1
