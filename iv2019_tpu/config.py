@@ -138,8 +138,12 @@ class Settings:
     predict_dir: str = ""
     results_dir: Optional[str] = None
     plotting: bool = False
+    plotting_overlapped: bool = False  # reference predict.py:127-135
+    plot_l1_confidence: bool = False  # reference predict.py:109-123
+    plot_l2_confidence: bool = False
     timeout: float = 10.0
     export_color_decisions: bool = False
+    export_overlapped_color_decisions: bool = False  # reference predict.py:155-165
     export_lids_images: bool = False
     predict_keys: tuple[str, ...] = (
         "decisions",
@@ -375,8 +379,12 @@ def _add_inference_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--train_void_class", action="store_true")
     p.add_argument("--results_dir", type=str, default=None)
     p.add_argument("--plotting", action="store_true")
+    p.add_argument("--plotting_overlapped", action="store_true")
+    p.add_argument("--plot_l1_confidence", action="store_true")
+    p.add_argument("--plot_l2_confidence", action="store_true")
     p.add_argument("--timeout", type=float, default=10.0)
     p.add_argument("--export_color_decisions", action="store_true")
+    p.add_argument("--export_overlapped_color_decisions", action="store_true")
     p.add_argument("--export_lids_images", action="store_true")
     p.add_argument("--preserve_aspect_ratio", action="store_true")
 
