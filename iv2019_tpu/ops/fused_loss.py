@@ -424,8 +424,24 @@ def make_fused_hierarchical_loss(
     return fused_loss
 
 
+def _compute_fused(l1_lr, veh_lr, hum_lr, pp, pb, pi, tax, out_hw, interpret):
+    """Local (per-shard) fused-loss computation on concrete-shape operands."""
+    from iv2019_tpu.ops.segment_ops import gather_cids
+
+    n_pp = pp.shape[0]
+    weak = jnp.concatenate([pb, pi], axis=0) if (pb.shape[0] + pi.shape[0]) else pb
+    loss_fn = make_fused_hierarchical_loss(
+        tax, n_pp, weak.shape[0], l1_lr.shape[1:3], out_hw, interpret=interpret
+    )
+    pp_l1 = gather_cids(tax.per_pixel_cids2l1_cids, pp) if n_pp else pp
+    pp_veh = gather_cids(tax.per_pixel_cids2vehicle_cids, pp) if n_pp else pp
+    pp_hum = gather_cids(tax.per_pixel_cids2human_cids, pp) if n_pp else pp
+    return loss_fn(l1_lr, veh_lr, hum_lr, pp_l1, pp_veh, pp_hum, weak)
+
+
 def define_losses_fused(
-    predictions, labels, tax: Taxonomy, out_hw, interpret: bool | None = None
+    predictions, labels, tax: Taxonomy, out_hw,
+    interpret: bool | None = None, mesh=None,
 ):
     """Drop-in counterpart of losses.hierarchical.define_losses computing the
     reference losses from *stride-8* logits via the fused kernel.
@@ -434,9 +450,14 @@ def define_losses_fused(
     'l2_human_logits' (N, h, w, C). labels: the standard train labels dict at
     full resolution. Returns the reference losses dict plus full-resolution
     'decisions' and 'l1_decisions'.
-    """
-    from iv2019_tpu.ops.segment_ops import gather_cids
 
+    With ``mesh`` (a 1-D data mesh whose axis evenly divides every sub-batch)
+    the kernel runs under ``jax.shard_map``: each device processes its local
+    [pp | pb | pi] slice — the reference's per-tower contract — and only the
+    six partial-sum scalars cross ICI (psum). Without it, an SPMD partitioner
+    would have to all-gather the full-resolution weak labels to feed the
+    un-annotated Pallas call.
+    """
     if interpret is None:
         # Mosaic needs a real TPU; tests exercise the kernel via interpreter
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -444,22 +465,81 @@ def define_losses_fused(
     pp = labels["prolabels_per_pixel"]
     pb = labels["prolabels_per_bbox"]
     pi = labels["prolabels_per_image"]
-    n_pp = pp.shape[0]
-    weak = jnp.concatenate([pb, pi], axis=0) if (pb.shape[0] + pi.shape[0]) else pb
-    n_weak = weak.shape[0]
+    n_pp_g, n_pb_g, n_pi_g = pp.shape[0], pb.shape[0], pi.shape[0]
 
-    l1_lr = predictions["l1_logits"]
-    loss_fn = make_fused_hierarchical_loss(
-        tax, n_pp, n_weak, l1_lr.shape[1:3], out_hw, interpret=interpret
+    shardable = (
+        mesh is not None
+        and mesh.size > 1
+        and all(k % mesh.size == 0 for k in (n_pp_g, n_pb_g, n_pi_g))
     )
-    pp_l1 = gather_cids(tax.per_pixel_cids2l1_cids, pp) if n_pp else pp
-    pp_veh = gather_cids(tax.per_pixel_cids2vehicle_cids, pp) if n_pp else pp
-    pp_hum = gather_cids(tax.per_pixel_cids2human_cids, pp) if n_pp else pp
+    if shardable:
+        from jax.sharding import PartitionSpec as P
 
-    out = loss_fn(
-        l1_lr, predictions["l2_vehicle_logits"], predictions["l2_human_logits"],
-        pp_l1, pp_veh, pp_hum, weak,
-    )
+        axis = mesh.axis_names[0]
+
+        # The logits are [pp | pb | pi] concatenated along batch; sharding
+        # the *concatenated* axis would hand each device a contiguous slice
+        # that mixes supervision types (wrong pp/weak assignment). Split the
+        # per-type slices back out (XLA folds slice-of-concat away), shard
+        # each on its own leading axis — the reference's per-tower
+        # get_temp_Nb contract — and re-concatenate the local slices inside.
+        def split3(t):
+            return (
+                t[:n_pp_g],
+                t[n_pp_g : n_pp_g + n_pb_g],
+                t[n_pp_g + n_pb_g :],
+            )
+
+        args = (
+            *split3(predictions["l1_logits"]),
+            *split3(predictions["l2_vehicle_logits"]),
+            *split3(predictions["l2_human_logits"]),
+            pp, pb, pi,
+        )
+
+        def local(l1a, l1b, l1c, va, vb, vc, ha, hb, hc, pp, pb, pi):
+            l1_lr = jnp.concatenate([l1a, l1b, l1c], axis=0)
+            veh_lr = jnp.concatenate([va, vb, vc], axis=0)
+            hum_lr = jnp.concatenate([ha, hb, hc], axis=0)
+            out = _compute_fused(
+                l1_lr, veh_lr, hum_lr, pp, pb, pi, tax, out_hw, interpret
+            )
+            for k in ("l1_sum", "l1_cnt", "veh_sum", "veh_cnt",
+                      "hum_sum", "hum_cnt"):
+                out[k] = jax.lax.psum(out[k], axis)
+            # split the decision maps back per type so the global stitch
+            # restores [pp | pb | pi] order (a sharded concat output would
+            # interleave devices' local slices)
+            a, b_ = pp.shape[0], pp.shape[0] + pb.shape[0]
+            for k in ("decisions", "l1_decisions"):
+                t = out.pop(k)
+                out[f"{k}_pp"] = t[:a]
+                out[f"{k}_pb"] = t[a:b_]
+                out[f"{k}_pi"] = t[b_:]
+            return out
+
+        parts = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis),) * 12,
+            out_specs={
+                "l1_sum": P(), "l1_cnt": P(), "veh_sum": P(), "veh_cnt": P(),
+                "hum_sum": P(), "hum_cnt": P(),
+                **{f"{k}_{t}": P(axis) for k in ("decisions", "l1_decisions")
+                   for t in ("pp", "pb", "pi")},
+            },
+            # pallas_call out_shapes carry no varying-mesh-axes annotation
+            check_vma=False,
+        )(*args)
+        out = {k: v for k, v in parts.items() if not k.startswith(("decisions", "l1_decisions"))}
+        for k in ("decisions", "l1_decisions"):
+            out[k] = jnp.concatenate(
+                [parts[f"{k}_pp"], parts[f"{k}_pb"], parts[f"{k}_pi"]], axis=0
+            )
+    else:
+        out = _compute_fused(
+            predictions["l1_logits"], predictions["l2_vehicle_logits"],
+            predictions["l2_human_logits"], pp, pb, pi, tax, out_hw, interpret,
+        )
 
     def _norm(s, c):
         return jnp.where(c > 0, s / jnp.maximum(c, 1.0), 0.0)

@@ -145,7 +145,7 @@ def train(
         state = state.replace(params=params, batch_stats=batch_stats)
 
     state = replicate(state, mesh)
-    step_fn = make_train_step(settings, model=model, tx=tx, fused_opt=fused_opt)
+    step_fn = make_train_step(settings, model=model, tx=tx, fused_opt=fused_opt, mesh=mesh)
 
     logger = MetricsLogger(settings.log_dir)
     num_steps = max_steps or settings.num_training_steps

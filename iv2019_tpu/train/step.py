@@ -97,7 +97,7 @@ def forward(model, params, batch_stats, images, train: bool):
     return preds, batch_stats
 
 
-def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> Callable:
+def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mesh=None) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics), jit-compiled.
 
     batch: dict with 'proimages_per_pixel' (Npp,H,W,3), 'proimages_per_bbox',
@@ -178,7 +178,7 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None) -> 
                 from iv2019_tpu.ops.fused_loss import define_losses_fused
 
                 losses = define_losses_fused(
-                    preds, labels, tax, images.shape[1:3]
+                    preds, labels, tax, images.shape[1:3], mesh=mesh
                 )
                 decisions = losses["decisions"]
             else:

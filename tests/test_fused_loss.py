@@ -153,3 +153,48 @@ def test_fused_no_weak_images():
         float(got["l2_vehicle_segmentation"]),
         float(want["l2_vehicle_segmentation"]), rtol=5e-5,
     )
+
+
+def test_fused_sharded_matches_unsharded():
+    """shard_map path: per-device [pp|pb|pi] slices + psum must equal the
+    global computation (guards the type-layout split — a naive shard of the
+    concatenated batch hands devices type-mixed slices)."""
+    from iv2019_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh()
+    if mesh.size == 1:
+        pytest.skip("single-device mesh")
+    tax = get_taxonomy("cityscapes")
+    rng = np.random.RandomState(0)
+    n_pp = n_pb = n_pi = mesh.size
+    h, w, S = 4, 8, 4
+    H, W = h * S, w * S
+    n = n_pp + n_pb + n_pi
+    preds = {
+        "l1_logits": rng.randn(n, h, w, tax.num_l1_classes).astype(np.float32) * 2,
+        "l2_vehicle_logits": rng.randn(n, h, w, tax.num_vehicle_classes).astype(np.float32) * 2,
+        "l2_human_logits": rng.randn(n, h, w, tax.num_human_classes).astype(np.float32) * 2,
+    }
+    eye = np.eye(NUM_WEAK_CLASSES, dtype=np.float32)
+    labels = {
+        "prolabels_per_pixel": rng.randint(0, 20, (n_pp, H, W)).astype(np.int32),
+        "prolabels_per_bbox": eye[rng.randint(0, 15, (n_pb, H, W))],
+        "prolabels_per_image": eye[rng.randint(0, 15, (n_pi, H, W))],
+    }
+    ref = define_losses_fused(
+        {k: jnp.asarray(v) for k, v in preds.items()},
+        {k: jnp.asarray(v) for k, v in labels.items()},
+        tax, (H, W), interpret=True,
+    )
+    got = jax.jit(
+        lambda p, l: define_losses_fused(p, l, tax, (H, W), interpret=True, mesh=mesh)
+    )(shard_batch(preds, mesh), shard_batch(labels, mesh))
+    for k in ("total", "l1_segmentation", "l2_vehicle_segmentation",
+              "l2_human_segmentation"):
+        np.testing.assert_allclose(float(got[k]), float(ref[k]), rtol=1e-5, err_msg=k)
+    np.testing.assert_array_equal(
+        np.asarray(got["decisions"]), np.asarray(ref["decisions"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["l1_decisions"]), np.asarray(ref["l1_decisions"])
+    )
