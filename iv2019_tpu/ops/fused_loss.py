@@ -41,20 +41,30 @@ from iv2019_tpu.problem.taxonomy import Taxonomy
 __all__ = ["make_fused_hierarchical_loss", "fused_loss_available"]
 
 
-def fused_loss_available(in_hw, out_hw) -> bool:
-    """The kernel requires static integer-divisible tiling of the output."""
-    return out_hw[0] >= in_hw[0] and out_hw[1] >= in_hw[1]
+def _pick_tile(h_out: int, w_out: int, n_slices: int):
+    """Largest Mosaic-legal divisor of h_out whose working set fits VMEM.
 
-
-def _pick_tile(h_out: int, w_out: int, n_slices: int) -> int:
-    """Largest divisor of h_out whose working set fits a VMEM budget."""
+    Output blocks are (.., tile, W): Mosaic requires the second-to-last
+    block dim to be a multiple of 8 or equal to the full dim. Returns None
+    when no legal tile fits the VMEM budget (caller falls back to the jnp
+    loss path — e.g. vistas' 621-row crop, whose only divisors are odd).
+    """
     budget_bytes = 6 * 1024 * 1024  # leave headroom for double buffering
     per_row = max(n_slices, 1) * w_out * 4
     cap = max(min(budget_bytes // per_row, 32, h_out), 1)
     for t in range(cap, 0, -1):
-        if h_out % t == 0:
+        if h_out % t == 0 and (t % 8 == 0 or t == h_out):
             return t
-    return 1
+    return None
+
+
+def fused_loss_available(in_hw, out_hw, tax: Taxonomy) -> bool:
+    """Whether the Pallas kernel can tile these shapes (else use the jnp path)."""
+    if out_hw[0] < in_hw[0] or out_hw[1] < in_hw[1]:
+        return False
+    n_slices = 2 * (tax.num_l1_classes + tax.num_vehicle_classes
+                    + tax.num_human_classes) + len(tax.per_bbox_cids2vehicle_cids) + 8
+    return _pick_tile(int(out_hw[0]), int(out_hw[1]), n_slices) is not None
 
 
 def _select_gather(table, idx, dtype=jnp.int32):
@@ -95,6 +105,11 @@ def make_fused_hierarchical_loss(
     ch = tax.num_human_classes
     cw = len(tax.per_bbox_cids2vehicle_cids)  # 15 weak classes
     tile = _pick_tile(H, W, 2 * (c1 + cv + ch) + cw + 8)
+    if tile is None:
+        raise ValueError(
+            f"no Mosaic-legal row tile for output {H}x{W}; gate with "
+            "fused_loss_available() and fall back to the jnp loss path."
+        )
     t_cells = H // tile
 
     A = _bilinear_matrix(h, H, align_corners=True)  # (H, h)

@@ -117,9 +117,16 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
     # upsample + CE + gates happen tile-wise in VMEM, ops/fused_loss.py).
     # Parameter structure is identical (the bilinear upsampler is
     # parameter-free), so checkpoints/eval/predict are unaffected.
+    from iv2019_tpu.ops.fused_loss import fused_loss_available
+
     use_fused_loss = (
         settings.fused_loss
         and getattr(model, "upsampling_method", None) == "bilinear"
+        and fused_loss_available(
+            (1, 1),
+            (settings.height_feature_extractor, settings.width_feature_extractor),
+            tax,
+        )
     )
     loss_model = model.clone(upsampling_method="no") if use_fused_loss else model
     reg_weight = settings.regularization_weight

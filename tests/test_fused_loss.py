@@ -198,3 +198,47 @@ def test_fused_sharded_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(got["l1_decisions"]), np.asarray(ref["l1_decisions"])
     )
+
+
+def test_fused_loss_availability_gate():
+    """Shapes with no Mosaic-legal row tile (e.g. vistas' 621-row crop, all
+    divisors odd) must be reported unavailable so the train step falls back
+    to the jnp loss; the flagship cityscapes crop must be available."""
+    from iv2019_tpu.ops.fused_loss import fused_loss_available
+
+    cs = get_taxonomy("cityscapes")
+    vs = get_taxonomy("vistas")
+    assert fused_loss_available((64, 128), (512, 1024), cs)
+    assert fused_loss_available((4, 8), (32, 64), cs)  # tiny test shapes
+    assert not fused_loss_available((78, 107), (621, 855), vs)
+
+
+def test_train_step_falls_back_for_unavailable_shapes():
+    """A vistas-like odd-height crop trains through the jnp loss path."""
+    from helpers import synthetic_batch, tiny_model, tiny_settings
+    from iv2019_tpu.train.optimizer import make_optimizer
+    from iv2019_tpu.train.state import create_train_state
+    from iv2019_tpu.train.step import make_train_step
+
+    # height 36: no divisor <= the 32-row tile cap is a multiple of 8
+    # (divisors {1,2,3,4,6,9,12,18}) -> kernel unavailable, jnp path engages
+    settings = tiny_settings(
+        fused_optimizer=False,
+        height_feature_extractor=36,
+        width_feature_extractor=64,
+    )
+    from iv2019_tpu.ops.fused_loss import fused_loss_available
+    from iv2019_tpu.problem.taxonomy import get_taxonomy as gt
+
+    assert not fused_loss_available((5, 8), (36, 64), gt("cityscapes"))
+    model = tiny_model(settings)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(settings).items()
+             if not k.startswith(("imageids", "raw"))}
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 36, 64, 3), jnp.float32)
+    )
+    tx, _ = make_optimizer(settings)
+    state = create_train_state(variables, tx, settings.ema_decay)
+    step = make_train_step(settings, model=model, tx=tx)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total"]))
