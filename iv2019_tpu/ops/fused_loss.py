@@ -59,12 +59,12 @@ def _pick_tile(h_out: int, w_out: int, n_slices: int):
 
 
 def fused_loss_available(in_hw, out_hw, tax: Taxonomy) -> bool:
-    """Whether the Pallas kernel can tile these shapes (else use the jnp path)."""
-    if out_hw[0] < in_hw[0] or out_hw[1] < in_hw[1]:
-        return False
-    n_slices = 2 * (tax.num_l1_classes + tax.num_vehicle_classes
-                    + tax.num_human_classes) + len(tax.per_bbox_cids2vehicle_cids) + 8
-    return _pick_tile(int(out_hw[0]), int(out_hw[1]), n_slices) is not None
+    """Whether the Pallas kernel supports these shapes (else use the jnp path).
+
+    Untileable heights are handled by zero-weight row padding inside the
+    kernel factory, so only upsampling (out >= in) is required.
+    """
+    return out_hw[0] >= in_hw[0] and out_hw[1] >= in_hw[1]
 
 
 def _select_gather(table, idx, dtype=jnp.int32):
@@ -104,15 +104,24 @@ def make_fused_hierarchical_loss(
     cv = tax.num_vehicle_classes
     ch = tax.num_human_classes
     cw = len(tax.per_bbox_cids2vehicle_cids)  # 15 weak classes
-    tile = _pick_tile(H, W, 2 * (c1 + cv + ch) + cw + 8)
+    n_slices = 2 * (c1 + cv + ch) + cw + 8
+    # Untileable heights (e.g. vistas' 621-row crop, odd divisors only) are
+    # padded to the next tileable height with zero-weight rows: the A matrix
+    # gets zero interpolation rows (upsampled values 0), per-pixel label
+    # rows are padded with the void cid and weak rows with the void channel,
+    # so the padded rows contribute exactly nothing to sums, counts, or
+    # gradients; decision maps are sliced back to H by the caller.
+    Hp = H
+    tile = _pick_tile(H, W, n_slices)
     if tile is None:
-        raise ValueError(
-            f"no Mosaic-legal row tile for output {H}x{W}; gate with "
-            "fused_loss_available() and fall back to the jnp loss path."
-        )
-    t_cells = H // tile
+        Hp = -(-H // 8) * 8
+        while (tile := _pick_tile(Hp, W, n_slices)) is None:
+            Hp += 8
+    t_cells = Hp // tile
 
     A = _bilinear_matrix(h, H, align_corners=True)  # (H, h)
+    if Hp != H:
+        A = np.concatenate([A, np.zeros((Hp - H, h), np.float32)], axis=0)
     B = _bilinear_matrix(w, W, align_corners=True).T.copy()  # (w, W)
     pb2veh = [int(x) for x in tax.per_bbox_cids2vehicle_cids]
     pb2hum = [int(x) for x in tax.per_bbox_cids2human_cids]
@@ -338,21 +347,36 @@ def make_fused_hierarchical_loss(
             ),
         ]
 
+    def _pad_rows(t, value):
+        if Hp == H:
+            return t
+        pad = jnp.full((t.shape[0], Hp - H, W), value, t.dtype)
+        return jnp.concatenate([t, pad], axis=1)
+
     def _prep(l1_lr, veh_lr, hum_lr, pp_l1, pp_veh, pp_hum, weak):
+        if n_weak:
+            weak_cm = jnp.transpose(weak, (0, 3, 1, 2)).astype(jnp.float32)
+            if Hp != H:
+                # pad weak rows with the pure-void distribution: gate weight 0
+                pad = jnp.zeros((weak_cm.shape[0], cw, Hp - H, W), jnp.float32)
+                pad = pad.at[:, -1].set(1.0)
+                weak_cm = jnp.concatenate([weak_cm, pad], axis=2)
+        else:
+            weak_cm = jnp.zeros((1, cw, Hp, W), jnp.float32)
         args = (
             jnp.asarray(A),
             jnp.asarray(B),
             jnp.transpose(l1_lr, (0, 3, 1, 2)).astype(jnp.float32),
             jnp.transpose(veh_lr, (0, 3, 1, 2)).astype(jnp.float32),
             jnp.transpose(hum_lr, (0, 3, 1, 2)).astype(jnp.float32),
-            (pp_l1 if n_pp else jnp.zeros((1, H, W), jnp.int32)).astype(jnp.int32),
-            (pp_veh if n_pp else jnp.zeros((1, H, W), jnp.int32)).astype(jnp.int32),
-            (pp_hum if n_pp else jnp.zeros((1, H, W), jnp.int32)).astype(jnp.int32),
-            (
-                jnp.transpose(weak, (0, 3, 1, 2)).astype(jnp.float32)
-                if n_weak
-                else jnp.zeros((1, cw, H, W), jnp.float32)
-            ),
+            # per-pixel label pads are each head's void cid: weight 0
+            _pad_rows(pp_l1.astype(jnp.int32), c1 - 1)
+            if n_pp else jnp.zeros((1, Hp, W), jnp.int32),
+            _pad_rows(pp_veh.astype(jnp.int32), cv - 1)
+            if n_pp else jnp.zeros((1, Hp, W), jnp.int32),
+            _pad_rows(pp_hum.astype(jnp.int32), ch - 1)
+            if n_pp else jnp.zeros((1, Hp, W), jnp.int32),
+            weak_cm,
         )
         return args
 
@@ -369,13 +393,13 @@ def make_fused_hierarchical_loss(
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((n, t_cells, 8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((n, H, W), jnp.int32),
-                jax.ShapeDtypeStruct((n, H, W), jnp.int32),
+                jax.ShapeDtypeStruct((n, Hp, W), jnp.int32),
+                jax.ShapeDtypeStruct((n, Hp, W), jnp.int32),
             ),
             interpret=interpret,
         )(*args)
         sums = jnp.sum(parts[..., 0], axis=(0, 1))
-        return sums, dec, l1dec
+        return sums, dec[:, :H], l1dec[:, :H]
 
     def _backward(g3, l1_lr, veh_lr, hum_lr, pp_l1, pp_veh, pp_hum, weak):
         args = _prep(l1_lr, veh_lr, hum_lr, pp_l1, pp_veh, pp_hum, weak)

@@ -201,20 +201,42 @@ def test_fused_sharded_matches_unsharded():
 
 
 def test_fused_loss_availability_gate():
-    """Shapes with no Mosaic-legal row tile (e.g. vistas' 621-row crop, all
-    divisors odd) must be reported unavailable so the train step falls back
-    to the jnp loss; the flagship cityscapes crop must be available."""
+    """Untileable heights (e.g. vistas' 621-row crop) are handled by
+    zero-weight row padding, so every upsampling shape is available;
+    downscaling is not."""
     from iv2019_tpu.ops.fused_loss import fused_loss_available
 
     cs = get_taxonomy("cityscapes")
     vs = get_taxonomy("vistas")
     assert fused_loss_available((64, 128), (512, 1024), cs)
     assert fused_loss_available((4, 8), (32, 64), cs)  # tiny test shapes
-    assert not fused_loss_available((78, 107), (621, 855), vs)
+    assert fused_loss_available((78, 107), (621, 855), vs)  # padded rows
+    assert not fused_loss_available((64, 128), (32, 64), cs)  # downscale
 
 
-def test_train_step_falls_back_for_unavailable_shapes():
-    """A vistas-like odd-height crop trains through the jnp loss path."""
+def test_padded_height_matches_reference():
+    """An untileable output height (36 rows: no divisor <= 32 is a multiple
+    of 8) runs through the zero-weight-padded kernel and must match the jnp
+    reference exactly."""
+    tax = get_taxonomy("cityscapes")
+    lr, labels, _ = _inputs(tax, 11, n_pp=2, n_pb=1, n_pi=1, h=9, w=16, scale=4)
+    out_hw = (36, 64)
+    want = _reference(lr, labels, tax, out_hw)
+    got = define_losses_fused(
+        {k: jnp.asarray(v) for k, v in lr.items()},
+        {k: jnp.asarray(v) for k, v in labels.items()},
+        tax, out_hw, interpret=True,
+    )
+    for k in ("total", "l1_segmentation", "l2_vehicle_segmentation",
+              "l2_human_segmentation"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=5e-5, atol=5e-6, err_msg=k
+        )
+    assert got["decisions"].shape == (4, 36, 64)
+
+
+def test_train_step_with_padded_height():
+    """A vistas-like odd-height crop trains through the padded fused path."""
     from helpers import synthetic_batch, tiny_model, tiny_settings
     from iv2019_tpu.train.optimizer import make_optimizer
     from iv2019_tpu.train.state import create_train_state
@@ -227,10 +249,7 @@ def test_train_step_falls_back_for_unavailable_shapes():
         height_feature_extractor=36,
         width_feature_extractor=64,
     )
-    from iv2019_tpu.ops.fused_loss import fused_loss_available
-    from iv2019_tpu.problem.taxonomy import get_taxonomy as gt
 
-    assert not fused_loss_available((5, 8), (36, 64), gt("cityscapes"))
     model = tiny_model(settings)
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(settings).items()
              if not k.startswith(("imageids", "raw"))}
