@@ -102,6 +102,10 @@ class Settings:
     # -- numerics / TPU ----------------------------------------------------
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype; params stay f32
     num_devices: Optional[int] = None  # None = all visible devices
+    # multi-slice (DCN) scaling: >1 builds a 2-D ('replica', 'data') mesh —
+    # batch shards over both axes, XLA emits hierarchical (ICI-then-DCN)
+    # collectives (parallel/mesh.create_mesh)
+    num_slices: int = 1
     # single fused flat-vector kernel for SGDM + weight decay + EMA instead of
     # per-parameter update fusions (identical math; see train/fused_update.py)
     fused_optimizer: bool = True
@@ -111,6 +115,12 @@ class Settings:
     # execute the 7x7/2 root conv as a 4x4/1 conv on 2x2 space-to-depth
     # input (identical math, same parameter; models/resnet.RootConvS2D)
     root_conv_s2d: bool = False
+    # execute every trunk conv as MXU dot_generals (1x1 -> one matmul,
+    # kxk -> k*k tap-shifted matmuls; identical math, same parameters —
+    # models/layers.dot_conv_same). With no conv ops left between the root
+    # and the loss, XLA keeps matmul-friendly layouts end-to-end instead of
+    # inserting conv<->dot relayout copies (docs/PERFORMANCE.md round 2).
+    conv_impl: str = "conv"  # | "dot"
     # hand-written Pallas kernel for the fused optimizer update
     # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
     pallas_update: bool = True

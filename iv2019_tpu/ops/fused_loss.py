@@ -514,7 +514,11 @@ def define_losses_fused(
     if shardable:
         from jax.sharding import PartitionSpec as P
 
-        axis = mesh.axis_names[0]
+        # batch shards over every mesh axis (1-D data mesh, or the 2-D
+        # multi-slice ('replica', 'data') mesh — parallel/mesh.py); the
+        # scalar psums below reduce hierarchically (ICI within a slice,
+        # DCN across slices) when the mesh is 2-D.
+        axis = tuple(mesh.axis_names)
 
         # The logits are [pp | pb | pi] concatenated along batch; sharding
         # the *concatenated* axis would hand each device a contiguous slice

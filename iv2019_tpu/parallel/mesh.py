@@ -37,20 +37,48 @@ __all__ = [
 ]
 
 DATA_AXIS = "data"
+REPLICA_AXIS = "replica"  # multi-slice (DCN) outer axis
 
 
-def create_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+def create_mesh(
+    num_devices: Optional[int] = None, devices=None, num_slices: int = 1
+) -> Mesh:
+    """Data-parallel mesh over the first ``num_devices`` devices.
+
+    ``num_slices > 1`` builds the multi-slice layout ('replica', 'data'):
+    the outer axis enumerates ICI-disconnected slices (linked over DCN), the
+    inner axis the chips within a slice. The batch shards over *both* axes
+    (see batch_sharding), so per-batch collectives that reduce scalars
+    (loss psums, gradient all-reduce) become a fast within-slice ICI
+    reduction followed by a small cross-slice DCN reduction — XLA emits the
+    hierarchical collective automatically for a 2-D mesh. Slices are taken
+    contiguously from the device list (JAX orders devices slice-major, and
+    the CPU test mesh has no slice structure to violate).
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    devices = np.asarray(devices)
+    if num_slices <= 1:
+        return Mesh(devices, (DATA_AXIS,))
+    if len(devices) % num_slices:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by {num_slices} slices."
+        )
+    grid = devices.reshape(num_slices, len(devices) // num_slices)
+    return Mesh(grid, (REPLICA_AXIS, DATA_AXIS))
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """The mesh axes the batch dimension shards over (all of them)."""
+    return tuple(mesh.axis_names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard leading (batch) axis across the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard leading (batch) axis across every mesh axis (1-D data mesh or
+    2-D multi-slice ('replica', 'data') mesh)."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

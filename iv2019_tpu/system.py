@@ -162,7 +162,10 @@ class SemanticSegmentation:
     @property
     def mesh(self):
         if self._mesh is None:
-            self._mesh = create_mesh(self._settings.num_devices)
+            self._mesh = create_mesh(
+                self._settings.num_devices,
+                num_slices=self._settings.num_slices,
+            )
         return self._mesh
 
     # -- train -------------------------------------------------------------
