@@ -62,6 +62,10 @@ def main(steps: int = 20, warmup: int = 3):
         learning_rate_boundaries=(8, 15, 17),
         learning_rate_values=(0.01, 0.005, 0.0025),
         compute_dtype="bfloat16",
+        # perf-experiment overrides (docs/PERFORMANCE.md A/Bs)
+        conv_impl=os.environ.get("IV_CONV_IMPL", "conv"),
+        dilation_mode=os.environ.get("IV_DILATION_MODE", "dilated"),
+        root_conv_s2d=os.environ.get("IV_ROOT_S2D", "0") == "1",
     ).finalize()
 
     model = build_model(settings.replace(mode="train"))

@@ -24,10 +24,14 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ConvSame", "Norm", "conv_norm_relu", "BottleneckV1", "variance_scaling_init"]
+__all__ = [
+    "ConvSame", "Norm", "conv_norm_relu", "BottleneckV1",
+    "variance_scaling_init", "dot_conv_same",
+]
 
 variance_scaling_init = nn.initializers.variance_scaling(
     2.0, "fan_in", "truncated_normal"
@@ -40,6 +44,81 @@ def _same_padding(kernel_size: int, rate: int) -> tuple[int, int]:
     pad_total = keff - 1
     pad_beg = pad_total // 2
     return (pad_beg, pad_total - pad_beg)
+
+
+class _Kernel(nn.Module):
+    """Bare conv kernel parameter at the path <parent>/<name>/kernel — the
+    exact tree position nn.Conv uses, so checkpoints are interchangeable
+    between the conv and dot execution paths."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", variance_scaling_init, self.shape, jnp.float32)
+
+
+def dot_conv_same(x, kernel, stride: int = 1, rate: int = 1, out_dtype=None):
+    """conv2d_same computed as MXU dot_generals instead of a conv op.
+
+    1x1 kernels become a single (N*H*W, Cin) @ (Cin, Cout) matmul (with the
+    stride folded into a preceding subsample — exact for k=1); kxk kernels
+    become k*k tap-shifted matmuls accumulated in f32, which reassociates the
+    conv's own f32 tap accumulation (same math, tested to bf16 tolerance).
+
+    Rationale: XLA:TPU's conv emitters pin activations to conv-friendly
+    layouts; mixing dots into a conv graph costs relayout copies (measured,
+    docs/PERFORMANCE.md round 2). Expressing *every* trunk conv as dots lets
+    the compiler keep one layout family end-to-end.
+    """
+    kh, kw, cin, cout = kernel.shape
+    dt = out_dtype or x.dtype
+    k = kernel.astype(dt)
+    n = x.shape[0]
+    if kh == 1 and kw == 1 and rate == 1:
+        if stride > 1:
+            x = x[:, ::stride, ::stride, :]
+        ho, wo = x.shape[1], x.shape[2]
+        y = jnp.dot(
+            x.reshape(-1, cin), k.reshape(cin, cout),
+            preferred_element_type=jnp.float32,
+        )
+        return y.reshape(n, ho, wo, cout).astype(dt)
+    # jax.checkpoint: without it, autodiff saves all kh*kw tap slices as
+    # residuals (kh*kw x the activation memory — OOMs the flagship config);
+    # with it only (x, k) are saved and the slices recompute in backward,
+    # like the conv op's own residual footprint.
+    @jax.checkpoint
+    def _taps(x, k):
+        pad_h = _same_padding(kh, rate)
+        pad_w = _same_padding(kw, rate)
+        xp = jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)))
+        hp, wp = xp.shape[1], xp.shape[2]
+        keff_h = kh + (kh - 1) * (rate - 1)
+        keff_w = kw + (kw - 1) * (rate - 1)
+        ho = (hp - keff_h) // stride + 1
+        wo = (wp - keff_w) // stride + 1
+        acc = None
+        for i in range(kh):
+            for j in range(kw):
+                sl = jax.lax.slice(
+                    xp,
+                    (0, i * rate, j * rate, 0),
+                    (
+                        n,
+                        i * rate + (ho - 1) * stride + 1,
+                        j * rate + (wo - 1) * stride + 1,
+                        cin,
+                    ),
+                    (1, stride, stride, 1),
+                )
+                t = jnp.dot(
+                    sl.reshape(-1, cin), k[i, j], preferred_element_type=jnp.float32
+                )
+                acc = t if acc is None else acc + t
+        return acc.reshape(n, ho, wo, cout).astype(dt)
+
+    return _taps(x, k)
 
 
 class ConvSame(nn.Module):
@@ -142,6 +221,7 @@ class conv_norm_relu(nn.Module):
     use_running_average: bool = True
     groups: int = 32
     feature_group_count: int = 1
+    conv_impl: str = "conv"  # | "dot" (dot_conv_same; identical math)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -149,6 +229,16 @@ class conv_norm_relu(nn.Module):
         # inline conv (named 'conv') so parameter paths are
         # <module>/conv/kernel — the layout the slim warm-start mapping
         # (utils/checkpoint.py) addresses
+        if self.conv_impl == "dot" and self.feature_group_count == 1:
+            kernel = _Kernel(
+                (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+                name="conv",
+            )()
+            x = dot_conv_same(
+                x.astype(self.dtype), kernel, self.stride, self.rate,
+                out_dtype=self.dtype,
+            )
+            return self._norm_act(x)
         pad = _same_padding(self.kernel_size, self.rate)
         x = nn.Conv(
             features=self.features,
@@ -163,6 +253,9 @@ class conv_norm_relu(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
+        return self._norm_act(x)
+
+    def _norm_act(self, x):
         x = Norm(
             norm_type=self.norm_type,
             momentum=self.momentum,
@@ -189,6 +282,7 @@ class BottleneckV1(nn.Module):
     norm_type: str = "batch"
     momentum: float = 0.9
     use_running_average: bool = True
+    conv_impl: str = "conv"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -198,6 +292,7 @@ class BottleneckV1(nn.Module):
             norm_type=self.norm_type,
             momentum=self.momentum,
             use_running_average=self.use_running_average,
+            conv_impl=self.conv_impl,
             dtype=self.dtype,
         )
         if depth_in == self.depth:

@@ -47,6 +47,7 @@ class PSPModule(nn.Module):
     norm_type: str = "batch"
     momentum: float = 0.9
     use_running_average: bool = True
+    conv_impl: str = "conv"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -56,6 +57,7 @@ class PSPModule(nn.Module):
             norm_type=self.norm_type,
             momentum=self.momentum,
             use_running_average=self.use_running_average,
+            conv_impl=self.conv_impl,
             dtype=self.dtype,
         )
         branches = [x]
@@ -88,6 +90,7 @@ class HierarchicalSegmentationModel(nn.Module):
     norm_type: str = "batch"
     batch_norm_decay: float = 0.9
     accumulate_norm_statistics: bool = False  # True during training
+    conv_impl: str = "conv"  # | "dot" (models/layers.dot_conv_same)
     dtype: Any = jnp.bfloat16
 
     def _norm_kw(self):
@@ -95,6 +98,7 @@ class HierarchicalSegmentationModel(nn.Module):
             norm_type=self.norm_type,
             momentum=self.batch_norm_decay,
             use_running_average=not self.accumulate_norm_statistics,
+            conv_impl=self.conv_impl,
             dtype=self.dtype,
         )
 
@@ -118,6 +122,7 @@ class HierarchicalSegmentationModel(nn.Module):
             use_running_average=not self.accumulate_norm_statistics,
             dilation_mode=self.dilation_mode,
             root_conv_s2d=self.root_conv_s2d,
+            conv_impl=self.conv_impl,
             dtype=self.dtype,
             name="feature_extractor/base",
         )(x)
@@ -139,6 +144,7 @@ class HierarchicalSegmentationModel(nn.Module):
                 norm_type=self.norm_type,
                 momentum=self.batch_norm_decay,
                 use_running_average=not self.accumulate_norm_statistics,
+                conv_impl=self.conv_impl,
                 dtype=self.dtype,
                 name="feature_extractor/pyramid_module",
             )(x)
@@ -158,6 +164,7 @@ class HierarchicalSegmentationModel(nn.Module):
                     depth=x.shape[-1], depth_bottleneck=x.shape[-1], stride=1,
                     norm_type=self.norm_type, momentum=self.batch_norm_decay,
                     use_running_average=not self.accumulate_norm_statistics,
+                    conv_impl=self.conv_impl,
                     dtype=self.dtype, name=f"adaptation_module/{name}",
                 )(x)
 
@@ -288,6 +295,7 @@ def build_model(settings: Settings) -> HierarchicalSegmentationModel:
         upsampling_method=settings.upsampling_method,
         dilation_mode=settings.dilation_mode,
         root_conv_s2d=settings.root_conv_s2d,
+        conv_impl=settings.conv_impl,
         fuse_adaptation=settings.fuse_adaptation,
         norm_type=settings.norm_layer,
         batch_norm_decay=settings.batch_norm_decay,

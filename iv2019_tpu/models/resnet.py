@@ -181,6 +181,7 @@ class ResNetV1(nn.Module):
     use_running_average: bool = True
     dilation_mode: str = "dilated"  # | "space_to_batch"
     root_conv_s2d: bool = False  # space-to-depth root conv (identical math)
+    conv_impl: str = "conv"  # | "dot" (every unit conv as MXU matmuls)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -189,6 +190,7 @@ class ResNetV1(nn.Module):
             norm_type=self.norm_type,
             momentum=self.momentum,
             use_running_average=self.use_running_average,
+            conv_impl=self.conv_impl,
             dtype=self.dtype,
         )
         # root (slim names: resnet_v1_50/conv1)

@@ -9,10 +9,13 @@ roofline; autotuning/emitter flags are the cheapest lever to test.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build():

@@ -62,6 +62,20 @@ def capture(outdir: str, steps: int = 5):
     state = create_fused_train_state(variables, fused_opt)
     step_fn = make_train_step(settings, model=model, fused_opt=fused_opt)
 
+    # optimized HLO with op_name metadata: lets trace_summary.py map fusion
+    # names back to model layers
+    try:
+        from iv2019_tpu.utils.compile import jit as tuned_jit
+
+        inner = step_fn.__wrapped__ if hasattr(step_fn, "__wrapped__") else step_fn
+        txt = tuned_jit(inner, donate_argnums=(0,)).lower(state, batch).compile().as_text()
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "hlo.txt"), "w") as f:
+            f.write(txt)
+        print("hlo written to", os.path.join(outdir, "hlo.txt"))
+    except Exception as e:
+        print("hlo dump failed:", e)
+
     for _ in range(3):
         state, metrics = step_fn(state, batch)
     float(metrics["total"])
