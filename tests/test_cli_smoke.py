@@ -24,6 +24,10 @@ PROBLEM = os.path.join(
 COMMON_ENV = dict(
     os.environ,
     JAX_PLATFORMS="cpu",
+    # the axon TPU plugin ignores JAX_PLATFORMS; the legacy var is honored,
+    # and without it these subprocesses would grab (and contend for) the
+    # single real TPU instead of running on host CPU
+    JAX_PLATFORM_NAME="cpu",
     XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
                + " --xla_force_host_platform_device_count=8").strip(),
     PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
