@@ -1,0 +1,129 @@
+"""C++ PJRT serving runtime: build + drive the standalone StableHLO loader.
+
+TPU-native counterpart of the reference's frozen-graph deployment story
+(reference tools/pb2pbtxt.py, define_savers.py:68-69): the exported artifact
+(iv2019_tpu/tools/export_model.py, ``forward.stablehlo.mlir``) is served by a
+pure C++ binary (``pjrt_loader.cc``) that dlopens a PJRT plugin, compiles the
+module, and executes it — no Python, TF, or JAX in the serving process.
+
+``build()`` compiles the binary on demand with the system toolchain (cached
+by source hash, like iv2019_tpu/native). ``serve()`` runs it and parses the
+one-line JSON report.
+
+Plugin discovery order: $PJRT_PLUGIN_PATH, the axon tunnel plugin
+(/opt/axon/libaxon_pjrt.so), then libtpu bundled in site-packages. For the
+axon plugin the client create-options mirror what the environment's JAX
+registration passes (topology/session_id/remote_compile).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import uuid
+from typing import Optional, Sequence
+
+__all__ = ["build", "find_plugin", "default_options", "serve"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "pjrt_loader.cc")
+
+
+def _tf_include_dir() -> Optional[str]:
+    """The vendored XLA headers in the installed tensorflow wheel (no TF
+    import — just the path)."""
+    import sysconfig
+
+    cand = os.path.join(sysconfig.get_paths()["purelib"], "tensorflow", "include")
+    return cand if os.path.isdir(cand) else None
+
+
+def build() -> Optional[str]:
+    """Compile pjrt_loader.cc -> cached binary path (None if no toolchain)."""
+    inc = _tf_include_dir()
+    if inc is None or not os.path.exists(
+        os.path.join(inc, "xla", "pjrt", "c", "pjrt_c_api.h")
+    ):
+        return None
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    bin_path = os.path.join(_DIR, f"_pjrt_serve_{digest}")
+    if os.path.exists(bin_path):
+        return bin_path
+    tmp = bin_path + ".tmp"
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-I", inc, "-o", tmp, _SRC, "-ldl"],
+            check=True, capture_output=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    os.replace(tmp, bin_path)
+    return bin_path
+
+
+def find_plugin() -> Optional[str]:
+    cand = os.environ.get("PJRT_PLUGIN_PATH")
+    if cand and os.path.exists(cand):
+        return cand
+    for cand in (
+        "/opt/axon/libaxon_pjrt.so",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(_DIR))),
+            "libtpu", "libtpu.so",
+        ),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def default_options(plugin_path: str) -> list[str]:
+    """key=value client create-options for the known plugins."""
+    if "axon" in os.path.basename(plugin_path):
+        gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+        remote = os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "1")
+        return [
+            f"topology={gen}:1x1x1",
+            f"session_id={uuid.uuid4()}",
+            f"remote_compile={remote}",
+            "local_only=0",
+            "priority=0",
+            "n_slices=1",
+            "rank=4294967295",
+        ]
+    return []
+
+
+def serve(
+    module_path: str,
+    input_shape: Sequence[int],
+    iters: int = 10,
+    plugin_path: Optional[str] = None,
+    options: Optional[Sequence[str]] = None,
+    timeout: float = 900.0,
+) -> dict:
+    """Run the C++ loader on a StableHLO module; returns the parsed report."""
+    bin_path = build()
+    if bin_path is None:
+        raise RuntimeError("pjrt_serve binary unavailable (no toolchain/headers)")
+    plugin_path = plugin_path or find_plugin()
+    if plugin_path is None:
+        raise RuntimeError("no PJRT plugin found (set PJRT_PLUGIN_PATH)")
+    if options is None:
+        options = default_options(plugin_path)
+    cmd = [
+        bin_path, plugin_path, module_path,
+        ",".join(str(int(d)) for d in input_shape), str(iters), *options,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"pjrt_serve failed rc={proc.returncode}:\n{proc.stderr[-2000:]}"
+        )
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    out["stderr"] = proc.stderr[-2000:]
+    return out

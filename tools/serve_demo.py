@@ -1,0 +1,79 @@
+"""End-to-end C++ serving demo: export StableHLO, serve it through PJRT.
+
+Usage:
+  python tools/serve_demo.py [--height 256 --width 512] [--tiny] [--iters 10]
+
+1. Builds the hierarchical model (flagship ResNet-50, or a tiny stack with
+   --tiny for a fast smoke), initializes parameters, exports the forward
+   pass as StableHLO (iv2019_tpu/tools/export_model.export_stablehlo).
+2. Compiles iv2019_tpu/serving/pjrt_loader.cc (build-on-demand) and runs it
+   against the discovered PJRT plugin — a pure C++ process executing the
+   model on the TPU, no Python/JAX in the serving path.
+
+Run this when the chip is otherwise idle (single-client constraint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--out_dir", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    # Export on CPU: StableHLO is platform-neutral, and the parent process
+    # must NOT hold a TPU client while the C++ loader creates its own
+    # (single-client constraint on the tunneled chip — verify skill notes).
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from iv2019_tpu import serving
+    from iv2019_tpu.models.model import HierarchicalSegmentationModel, build_model
+    from iv2019_tpu.problem.taxonomy import get_taxonomy
+    from iv2019_tpu.tools.export_model import export_stablehlo
+    from iv2019_tpu.config import Settings
+
+    h, w = args.height, args.width
+    if args.tiny:
+        model = HierarchicalSegmentationModel(
+            taxonomy=get_taxonomy("cityscapes"),
+            resnet_blocks=((1, 32, 8), (1, 64, 16), (1, 96, 24), (1, 128, 32)),
+            feature_dims_decreased=16,
+        )
+    else:
+        model = build_model(Settings(
+            per_pixel_dataset_name="cityscapes", mode="predict",
+            height_feature_extractor=h, width_feature_extractor=w,
+        ))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32)
+    )
+    out_dir = args.out_dir or tempfile.mkdtemp(prefix="serve_demo_")
+    paths = export_stablehlo(model, variables, (1, h, w, 3), out_dir)
+    size_mb = os.path.getsize(paths["stablehlo"]) / 1e6
+    print(f"exported {paths['stablehlo']} ({size_mb:.1f} MB)")
+
+    report = serving.serve(
+        paths["stablehlo"], (1, h, w, 3), iters=args.iters
+    )
+    stderr = report.pop("stderr", "")
+    print(stderr, file=sys.stderr)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
