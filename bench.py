@@ -64,6 +64,7 @@ def main(steps: int = 20, warmup: int = 3):
         compute_dtype="bfloat16",
         # perf-experiment overrides (docs/PERFORMANCE.md A/Bs)
         conv_impl=os.environ.get("IV_CONV_IMPL", "conv"),
+        bn_impl=os.environ.get("IV_BN_IMPL", "flax"),
         dilation_mode=os.environ.get("IV_DILATION_MODE", "dilated"),
         root_conv_s2d=os.environ.get("IV_ROOT_S2D", "0") == "1",
     ).finalize()

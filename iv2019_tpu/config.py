@@ -121,6 +121,10 @@ class Settings:
     # and the loss, XLA keeps matmul-friendly layouts end-to-end instead of
     # inserting conv<->dot relayout copies (docs/PERFORMANCE.md round 2).
     conv_impl: str = "conv"  # | "dot"
+    # train-mode BatchNorm backward: 'fused' uses the classic two-reduction
+    # custom VJP (ops/fused_bn) instead of autodiff through flax's stats
+    # graph — same math/params/stats, leaner conv-backward fusions on TPU
+    bn_impl: str = "flax"  # | "fused"
     # hand-written Pallas kernel for the fused optimizer update
     # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
     pallas_update: bool = True

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = [
-    "ConvSame", "Norm", "conv_norm_relu", "BottleneckV1",
+    "ConvSame", "Norm", "FusedBatchNorm", "conv_norm_relu", "BottleneckV1",
     "variance_scaling_init", "dot_conv_same",
 ]
 
@@ -155,6 +155,39 @@ class ConvSame(nn.Module):
         )(x)
 
 
+class FusedBatchNorm(nn.Module):
+    """Train-mode BatchNorm with the classic fused backward (ops/fused_bn).
+
+    Drop-in for flax ``nn.BatchNorm(use_running_average=False)``: identical
+    parameter tree (``scale``/``bias``), identical 'batch_stats' variables
+    (``mean``/``var``), identical forward math — only the VJP differs (two
+    reductions instead of autodiff through the stats graph), which is what
+    keeps the 1x1-conv backward fusions lean on TPU (docs/PERFORMANCE.md).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        from iv2019_tpu.ops.fused_bn import batch_norm_train
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        y, mean, var = batch_norm_train(x, scale, bias, self.epsilon)
+        if not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        return y
+
+
 class Norm(nn.Module):
     """Normalization layer: batch (default) or group, f32 compute.
 
@@ -170,12 +203,19 @@ class Norm(nn.Module):
     groups: int = 32
     use_running_average: bool = True
     trainable: bool = True  # norm_train_variables
+    bn_impl: str = "flax"  # | "fused" (custom-VJP backward; train mode only)
 
     @nn.compact
     def __call__(self, x):
         in_dtype = x.dtype
         x32 = x.astype(jnp.float32)
-        if self.norm_type == "batch":
+        if self.norm_type == "batch" and self.bn_impl == "fused" and not self.use_running_average:
+            y = FusedBatchNorm(
+                momentum=self.momentum,
+                epsilon=self.epsilon,
+                name="BatchNorm",
+            )(x32)
+        elif self.norm_type == "batch":
             y = nn.BatchNorm(
                 use_running_average=self.use_running_average,
                 momentum=self.momentum,
@@ -222,6 +262,7 @@ class conv_norm_relu(nn.Module):
     groups: int = 32
     feature_group_count: int = 1
     conv_impl: str = "conv"  # | "dot" (dot_conv_same; identical math)
+    bn_impl: str = "flax"  # | "fused" (ops/fused_bn custom-VJP backward)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -258,6 +299,7 @@ class conv_norm_relu(nn.Module):
     def _norm_act(self, x):
         x = Norm(
             norm_type=self.norm_type,
+            bn_impl=self.bn_impl,
             momentum=self.momentum,
             groups=self.groups,
             use_running_average=self.use_running_average,
@@ -283,6 +325,7 @@ class BottleneckV1(nn.Module):
     momentum: float = 0.9
     use_running_average: bool = True
     conv_impl: str = "conv"
+    bn_impl: str = "flax"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -293,6 +336,7 @@ class BottleneckV1(nn.Module):
             momentum=self.momentum,
             use_running_average=self.use_running_average,
             conv_impl=self.conv_impl,
+            bn_impl=self.bn_impl,
             dtype=self.dtype,
         )
         if depth_in == self.depth:

@@ -48,6 +48,7 @@ class PSPModule(nn.Module):
     momentum: float = 0.9
     use_running_average: bool = True
     conv_impl: str = "conv"
+    bn_impl: str = "flax"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -58,6 +59,7 @@ class PSPModule(nn.Module):
             momentum=self.momentum,
             use_running_average=self.use_running_average,
             conv_impl=self.conv_impl,
+            bn_impl=self.bn_impl,
             dtype=self.dtype,
         )
         branches = [x]
@@ -91,6 +93,7 @@ class HierarchicalSegmentationModel(nn.Module):
     batch_norm_decay: float = 0.9
     accumulate_norm_statistics: bool = False  # True during training
     conv_impl: str = "conv"  # | "dot" (models/layers.dot_conv_same)
+    bn_impl: str = "flax"  # | "fused" (ops/fused_bn custom-VJP backward)
     dtype: Any = jnp.bfloat16
 
     def _norm_kw(self):
@@ -99,6 +102,7 @@ class HierarchicalSegmentationModel(nn.Module):
             momentum=self.batch_norm_decay,
             use_running_average=not self.accumulate_norm_statistics,
             conv_impl=self.conv_impl,
+            bn_impl=self.bn_impl,
             dtype=self.dtype,
         )
 
@@ -123,6 +127,7 @@ class HierarchicalSegmentationModel(nn.Module):
             dilation_mode=self.dilation_mode,
             root_conv_s2d=self.root_conv_s2d,
             conv_impl=self.conv_impl,
+            bn_impl=self.bn_impl,
             dtype=self.dtype,
             name="feature_extractor/base",
         )(x)
@@ -145,6 +150,7 @@ class HierarchicalSegmentationModel(nn.Module):
                 momentum=self.batch_norm_decay,
                 use_running_average=not self.accumulate_norm_statistics,
                 conv_impl=self.conv_impl,
+                bn_impl=self.bn_impl,
                 dtype=self.dtype,
                 name="feature_extractor/pyramid_module",
             )(x)
@@ -165,6 +171,7 @@ class HierarchicalSegmentationModel(nn.Module):
                     norm_type=self.norm_type, momentum=self.batch_norm_decay,
                     use_running_average=not self.accumulate_norm_statistics,
                     conv_impl=self.conv_impl,
+                    bn_impl=self.bn_impl,
                     dtype=self.dtype, name=f"adaptation_module/{name}",
                 )(x)
 
@@ -296,6 +303,7 @@ def build_model(settings: Settings) -> HierarchicalSegmentationModel:
         dilation_mode=settings.dilation_mode,
         root_conv_s2d=settings.root_conv_s2d,
         conv_impl=settings.conv_impl,
+        bn_impl=settings.bn_impl,
         fuse_adaptation=settings.fuse_adaptation,
         norm_type=settings.norm_layer,
         batch_norm_decay=settings.batch_norm_decay,

@@ -182,6 +182,7 @@ class ResNetV1(nn.Module):
     dilation_mode: str = "dilated"  # | "space_to_batch"
     root_conv_s2d: bool = False  # space-to-depth root conv (identical math)
     conv_impl: str = "conv"  # | "dot" (every unit conv as MXU matmuls)
+    bn_impl: str = "flax"  # | "fused" (ops/fused_bn custom-VJP backward)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -191,6 +192,7 @@ class ResNetV1(nn.Module):
             momentum=self.momentum,
             use_running_average=self.use_running_average,
             conv_impl=self.conv_impl,
+            bn_impl=self.bn_impl,
             dtype=self.dtype,
         )
         # root (slim names: resnet_v1_50/conv1)
@@ -200,6 +202,7 @@ class ResNetV1(nn.Module):
             x = ConvSame(64, 7, 2, dtype=self.dtype, name="conv1")(x)
         x = Norm(
             norm_type=self.norm_type,
+            bn_impl=self.bn_impl,
             momentum=self.momentum,
             use_running_average=self.use_running_average,
             name="conv1_norm",

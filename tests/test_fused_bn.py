@@ -1,0 +1,132 @@
+"""Fused-VJP BatchNorm == flax BatchNorm: forward, stats, and gradients.
+
+ops/fused_bn replaces only the backward formulation (classic two-reduction
+form instead of autodiff through flax's max(0, E[x^2]-E[x]^2) graph); these
+tests pin that the forward is bit-compatible, the running-stat updates
+match, gradients agree with autodiff to fp tolerance, and the full model
+produces identical losses/grads under either implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from iv2019_tpu.models.layers import FusedBatchNorm, Norm
+from iv2019_tpu.ops.fused_bn import batch_norm_train, batch_stats
+
+
+def _flax_bn(momentum=0.9, epsilon=1e-5):
+    return nn.BatchNorm(
+        use_running_average=False, momentum=momentum, epsilon=epsilon,
+        use_bias=True, use_scale=True, dtype=jnp.float32,
+        param_dtype=jnp.float32,
+    )
+
+
+@pytest.mark.parametrize("shape", [(4, 6, 10, 16), (2, 1, 1, 3), (8, 5, 7, 1)])
+def test_forward_and_running_stats_match_flax(shape):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32) * 3 + 1)
+    ref = _flax_bn()
+    fused = FusedBatchNorm()
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    vf = fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(vr) == jax.tree.structure(vf)
+    # non-trivial scale/bias so the affine part is exercised
+    vr = jax.tree.map(lambda a: a + 0.25, vr)
+    yr, mr = ref.apply(vr, x, mutable=["batch_stats"])
+    yf, mf = fused.apply(vr, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yr), atol=1e-5, rtol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mf["batch_stats"][k]),
+            np.asarray(mr["batch_stats"][k]),
+            atol=1e-6, rtol=1e-6,
+        )
+
+
+def test_gradients_match_autodiff():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 6, 10, 16).astype(np.float32) * 2)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (16,)).astype(np.float32))
+    bias = jnp.asarray(rng.randn(16).astype(np.float32))
+    g = jnp.asarray(rng.randn(4, 6, 10, 16).astype(np.float32))
+
+    def fused_loss(x, s, b):
+        y, _, _ = batch_norm_train(x, s, b, 1e-5)
+        return jnp.sum(y * g)
+
+    def ref_loss(x, s, b):
+        mean, var = batch_stats(x)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5) * s + b
+        return jnp.sum(y * g)
+
+    got = jax.grad(fused_loss, argnums=(0, 1, 2))(x, scale, bias)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+def test_norm_module_selects_fused_only_in_train_mode():
+    x = jnp.ones((2, 4, 4, 8), jnp.float32)
+    # eval mode must use running averages regardless of bn_impl
+    n_eval = Norm(use_running_average=True, bn_impl="fused")
+    v = n_eval.init(jax.random.PRNGKey(0), x)
+    y = n_eval.apply(v, x)
+    assert y.shape == x.shape
+    # the flax module's ra-stats path: all-ones input, zero-mean unit-var ra
+    np.testing.assert_allclose(np.asarray(y), np.ones_like(x), atol=1e-2)
+
+
+def test_model_loss_and_grads_match():
+    """Full tiny hierarchical model: identical loss and parameter grads."""
+    from iv2019_tpu.models.model import HierarchicalSegmentationModel
+    from iv2019_tpu.problem.taxonomy import get_taxonomy
+
+    def build(bn_impl):
+        return HierarchicalSegmentationModel(
+            taxonomy=get_taxonomy("cityscapes"),
+            resnet_blocks=((1, 32, 8), (1, 64, 16)),
+            feature_dims_decreased=16,
+            accumulate_norm_statistics=True,
+            bn_impl=bn_impl,
+            dtype=jnp.float32,
+        )
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    m_flax = build("flax")
+    m_fused = build("fused")
+    v = jax.jit(m_flax.init)(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        jax.jit(m_fused.init)(jax.random.PRNGKey(0), x)
+    )
+
+    def loss(params, model):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            mutable=["batch_stats"],
+        )
+        return jnp.mean(out["l1_logits"].astype(jnp.float32) ** 2), updates
+
+    (l1, u1), g1 = jax.value_and_grad(loss, has_aux=True)(v["params"], m_flax)
+    (l2, u2), g2 = jax.value_and_grad(loss, has_aux=True)(v["params"], m_fused)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3,
+            err_msg=str(p1),
+        )
+    # batch_stats updates identical too
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(u1),
+        jax.tree_util.tree_leaves_with_path(u2),
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
