@@ -120,7 +120,8 @@ class Settings:
     # models/layers.dot_conv_same). With no conv ops left between the root
     # and the loss, XLA keeps matmul-friendly layouts end-to-end instead of
     # inserting conv<->dot relayout copies (docs/PERFORMANCE.md round 2).
-    conv_impl: str = "conv"  # | "dot"
+    conv_impl: str = "conv"  # | "dot" | "dot_bwd" (1x1 convs keep the XLA
+    # conv forward but take dot_general gradients — layers.conv1x1_dot_bwd)
     # train-mode BatchNorm backward: 'fused' uses the classic two-reduction
     # custom VJP (ops/fused_bn) instead of autodiff through flax's stats
     # graph — same math/params/stats, leaner conv-backward fusions on TPU

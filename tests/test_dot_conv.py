@@ -103,3 +103,45 @@ def test_gradients_match():
     g1 = jax.grad(loss_dot)(k)
     g2 = jax.grad(loss_conv)(k)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3, rtol=1e-4)
+
+
+def test_conv1x1_dot_bwd_matches_conv():
+    """dot_bwd path: forward is the conv op itself; grads match autodiff."""
+    from iv2019_tpu.models.layers import conv1x1_dot_bwd
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 12, 20, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 8, 16).astype(np.float32) * 0.1)
+    # forward: bit-identical (same lax.conv call)
+    np.testing.assert_array_equal(
+        np.asarray(conv1x1_dot_bwd(x, k)), np.asarray(_conv_ref(x, k, 1, 1))
+    )
+    g = jnp.asarray(rng.randn(2, 12, 20, 16).astype(np.float32))
+
+    def loss_dot(x, k):
+        return jnp.sum(conv1x1_dot_bwd(x, k) * g)
+
+    def loss_conv(x, k):
+        return jnp.sum(_conv_ref(x, k, 1, 1) * g)
+
+    got = jax.grad(loss_dot, argnums=(0, 1))(x, k)
+    want = jax.grad(loss_conv, argnums=(0, 1))(x, k)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_model_parity_dot_bwd():
+    """Full model under conv_impl='dot_bwd': identical predictions + tree."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 128, 3)).astype(np.float32))
+    m_conv = _tiny_model("conv")
+    m_db = _tiny_model("dot_bwd")
+    v = jax.jit(m_conv.init)(jax.random.PRNGKey(0), x)
+    v2 = jax.jit(m_db.init)(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    out_conv = jax.jit(m_conv.apply)(v, x)
+    out_db = jax.jit(m_db.apply)(v, x)
+    np.testing.assert_allclose(
+        np.asarray(out_db["l1_logits"]), np.asarray(out_conv["l1_logits"]),
+        atol=1e-4, rtol=1e-4,
+    )
