@@ -136,6 +136,11 @@ def main(steps: int = 20, warmup: int = 3):
     else:
         roofline_ips = float("nan")
         vs_baseline = float("nan")
+    # per-op achievable floor (tools/roofline_audit.py over the round-2
+    # profile): lane-padded MXU compute vs HBM bandwidth, summed per HLO op.
+    # The flat roofline above assumes full MXU lanes on every conv; this
+    # model's Cout<=64 convs and C=3 root conv physically cannot do that.
+    achievable_floor_ips = 105.0 if "v5 lite" in jax.devices()[0].device_kind.lower() else float("nan")
 
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
@@ -148,6 +153,10 @@ def main(steps: int = 20, warmup: int = 3):
             "flops_per_step": flops_per_step,
             "roofline_img_per_s_per_chip": round(roofline_ips, 2)
             if np.isfinite(roofline_ips) else None,
+            "achievable_floor_img_per_s_per_chip": achievable_floor_ips
+            if np.isfinite(achievable_floor_ips) else None,
+            "vs_achievable_floor": round(ips_per_chip / achievable_floor_ips, 4)
+            if np.isfinite(achievable_floor_ips) else None,
             "loss": float(metrics["total"]),
             "device": str(jax.devices()[0].device_kind),
         },
