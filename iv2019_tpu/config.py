@@ -106,6 +106,12 @@ class Settings:
     # batch shards over both axes, XLA emits hierarchical (ICI-then-DCN)
     # collectives (parallel/mesh.create_mesh)
     num_slices: int = 1
+    # spatial SPMD partitioning: >1 adds a 'spatial' mesh axis sharding the
+    # image-height dim of every image/label/activation — XLA inserts conv
+    # halo exchanges automatically. Lifts the reference's max-trainable-
+    # image-size ceiling (input_vistas.py:7-10): per-chip activation memory
+    # falls by this factor. Requires H divisible by 8*spatial_partitions.
+    spatial_partitions: int = 1
     # single fused flat-vector kernel for SGDM + weight decay + EMA instead of
     # per-parameter update fusions (identical math; see train/fused_update.py)
     fused_optimizer: bool = True
@@ -315,6 +321,10 @@ def _add_system_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--num_slices", type=int, default=1,
+                   help="multi-slice (DCN) scaling: ('replica','data') mesh")
+    p.add_argument("--spatial_partitions", type=int, default=1,
+                   help="shard image height across chips (megapixel inputs)")
     p.add_argument("--synthetic_data", action="store_true")
 
 

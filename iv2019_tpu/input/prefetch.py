@@ -18,7 +18,12 @@ from typing import Iterator
 import jax
 import numpy as np
 
-from iv2019_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from iv2019_tpu.parallel.mesh import (
+    batch_axes,
+    batch_sharding,
+    image_sharding,
+    replicated_sharding,
+)
 
 __all__ = ["device_prefetch"]
 
@@ -27,12 +32,18 @@ _warned_replication = set()
 
 
 def _to_device(batch: dict, mesh) -> dict:
+    import math
+
     bs = batch_sharding(mesh)
+    ims = image_sharding(mesh)
     rs = replicated_sharding(mesh)
+    n_batch = math.prod(mesh.shape[a] for a in batch_axes(mesh))
+    n_sp = mesh.shape.get("spatial", 1)
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            shardable = v.ndim > 0 and v.shape[0] > 0 and v.shape[0] % mesh.size == 0
+            shardable = v.ndim > 0 and v.shape[0] > 0 and v.shape[0] % n_batch == 0
+            spatial_ok = shardable and v.ndim > 1 and v.shape[1] % n_sp == 0
             if not shardable and v.ndim > 0 and v.shape[0] > 0 and mesh.size > 1:
                 # replication fallback: correct, but the work runs on one
                 # chip's slice of data while the rest idle (VERDICT weak #5)
@@ -41,12 +52,14 @@ def _to_device(batch: dict, mesh) -> dict:
                     _warned_replication.add(key)
                     warnings.warn(
                         f"batch '{k}' with leading dim {v.shape[0]} is not "
-                        f"divisible by the {mesh.size}-device mesh; it will "
+                        f"divisible by the {n_batch} batch shards; it will "
                         "be replicated (devices compute redundantly). Use a "
                         "batch size divisible by the device count.",
                         stacklevel=2,
                     )
-            out[k] = jax.device_put(v, bs if shardable else rs)
+            out[k] = jax.device_put(
+                v, ims if spatial_ok else (bs if shardable else rs)
+            )
         else:
             out[k] = v  # strings/lists stay on host
     return out

@@ -509,6 +509,10 @@ def define_losses_fused(
     shardable = (
         mesh is not None
         and mesh.size > 1
+        # spatial partitioning splits H, not batch: the per-type [pp|pb|pi]
+        # shard_map layout below assumes batch-only sharding — the jnp loss
+        # path (SPMD-partitioned by XLA, including H) handles that mesh
+        and "spatial" not in mesh.axis_names
         and all(k % mesh.size == 0 for k in (n_pp_g, n_pb_g, n_pi_g))
     )
     if shardable:

@@ -17,10 +17,24 @@ The per-tower sub-batch contract of the reference (``get_temp_Nb``,
 input_pipelines/utils.py:118-124) is preserved by sharding each supervision
 type's sub-batch separately: every device sees a proportional slice of
 [per_pixel | per_bbox | per_image].
+
+Beyond the reference's reach, two more mesh axes compose with ``data``:
+
+- ``replica`` (``num_slices > 1``): multi-slice DCN scaling — batch shards
+  over (replica, data); XLA reduces hierarchically (ICI within a slice,
+  DCN across).
+- ``spatial`` (``spatial_partitions > 1``): image-height SPMD partitioning
+  for megapixel inputs — the H axis of every image/label shards across
+  chips, and XLA inserts the conv halo exchanges (collective-permute) and
+  global-stat all-reduces automatically. This directly lifts the
+  max-trainable-image-size ceiling the reference documents
+  (input_vistas.py:7-10: 4 GPUs capped at 1240x1710 with Nb=4); per-chip
+  activation memory falls by the spatial factor.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional
 
 import jax
@@ -29,7 +43,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "create_mesh",
+    "batch_axes",
     "batch_sharding",
+    "image_sharding",
     "replicated_sharding",
     "shard_batch",
     "replicate",
@@ -38,47 +54,64 @@ __all__ = [
 
 DATA_AXIS = "data"
 REPLICA_AXIS = "replica"  # multi-slice (DCN) outer axis
+SPATIAL_AXIS = "spatial"  # image-height partitioning (megapixel inputs)
 
 
 def create_mesh(
-    num_devices: Optional[int] = None, devices=None, num_slices: int = 1
+    num_devices: Optional[int] = None,
+    devices=None,
+    num_slices: int = 1,
+    spatial_partitions: int = 1,
 ) -> Mesh:
-    """Data-parallel mesh over the first ``num_devices`` devices.
+    """Mesh over the first ``num_devices`` devices.
 
-    ``num_slices > 1`` builds the multi-slice layout ('replica', 'data'):
-    the outer axis enumerates ICI-disconnected slices (linked over DCN), the
-    inner axis the chips within a slice. The batch shards over *both* axes
-    (see batch_sharding), so per-batch collectives that reduce scalars
-    (loss psums, gradient all-reduce) become a fast within-slice ICI
-    reduction followed by a small cross-slice DCN reduction — XLA emits the
-    hierarchical collective automatically for a 2-D mesh. Slices are taken
-    contiguously from the device list (JAX orders devices slice-major, and
-    the CPU test mesh has no slice structure to violate).
+    Axis layout by configuration (unused axes omitted):
+    ``('replica',)? + ('data',) + ('spatial',)?`` — batch shards over
+    replica+data, image height over spatial. Slices are taken contiguously
+    from the device list (JAX orders devices slice-major); within a slice,
+    spatial neighbors are adjacent devices so halo exchanges ride the
+    shortest ICI hops.
     """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     devices = np.asarray(devices)
-    if num_slices <= 1:
-        return Mesh(devices, (DATA_AXIS,))
-    if len(devices) % num_slices:
+    n = len(devices)
+    if num_slices * spatial_partitions > n or n % (num_slices * spatial_partitions):
         raise ValueError(
-            f"{len(devices)} devices not divisible by {num_slices} slices."
+            f"{n} devices not divisible into {num_slices} slices x "
+            f"{spatial_partitions} spatial partitions."
         )
-    grid = devices.reshape(num_slices, len(devices) // num_slices)
-    return Mesh(grid, (REPLICA_AXIS, DATA_AXIS))
+    shape, names = [], []
+    if num_slices > 1:
+        shape.append(num_slices)
+        names.append(REPLICA_AXIS)
+    shape.append(n // (num_slices * spatial_partitions))
+    names.append(DATA_AXIS)
+    if spatial_partitions > 1:
+        shape.append(spatial_partitions)
+        names.append(SPATIAL_AXIS)
+    if len(names) == 1:
+        return Mesh(devices, (DATA_AXIS,))
+    return Mesh(devices.reshape(shape), tuple(names))
 
 
 def batch_axes(mesh: Mesh) -> tuple:
-    """The mesh axes the batch dimension shards over (all of them)."""
-    return tuple(mesh.axis_names)
+    """The mesh axes the batch dimension shards over (all but spatial)."""
+    return tuple(a for a in mesh.axis_names if a != SPATIAL_AXIS)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard leading (batch) axis across every mesh axis (1-D data mesh or
-    2-D multi-slice ('replica', 'data') mesh)."""
+    """Shard the leading (batch) axis across every non-spatial mesh axis."""
     return NamedSharding(mesh, P(batch_axes(mesh)))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch on (replica, data); image height on 'spatial' when present."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(batch_axes(mesh), SPATIAL_AXIS))
+    return batch_sharding(mesh)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -90,16 +123,27 @@ def _put(x, sharding):
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put a pytree of host arrays with batch-axis sharding.
+    """device_put a pytree of host arrays with batch(+spatial) sharding.
 
-    Zero-size leaves (empty weak sub-batches) are replicated — XLA cannot
-    shard an empty axis.
+    Every batch entry is [N, H, ...] (images [N,H,W,3], sparse labels
+    [N,H,W], multinomial labels [N,H,W,C]), so with a spatial axis dim 1
+    shards too (when divisible). Zero-size leaves (empty weak sub-batches)
+    are replicated — XLA cannot shard an empty axis.
     """
     bs = batch_sharding(mesh)
+    ims = image_sharding(mesh)
     rs = replicated_sharding(mesh)
-    return jax.tree.map(
-        lambda x: _put(x, bs if np.shape(x) and np.shape(x)[0] > 0 else rs), batch
-    )
+    n_sp = mesh.shape.get(SPATIAL_AXIS, 1)
+
+    def pick(x):
+        shape = np.shape(x)
+        if not shape or shape[0] == 0:
+            return rs
+        if len(shape) >= 2 and shape[1] % n_sp == 0:
+            return ims
+        return bs
+
+    return jax.tree.map(lambda x: _put(x, pick(x)), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
@@ -107,9 +151,13 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def local_batch_size(global_nb: int, mesh: Mesh) -> int:
-    """get_temp_Nb parity: per-device batch; global must divide evenly."""
-    n = mesh.size
+    """get_temp_Nb parity: per-device batch; global must divide evenly.
+
+    Only the non-spatial axes consume batch items (a spatial group of
+    chips shares each image, split along H).
+    """
+    n = math.prod(mesh.shape[a] for a in batch_axes(mesh))
     div, mod = divmod(global_nb, n)
     if mod:
-        raise ValueError(f"batch size {global_nb} not divisible by {n} devices.")
+        raise ValueError(f"batch size {global_nb} not divisible by {n} batch shards.")
     return div

@@ -165,6 +165,7 @@ class SemanticSegmentation:
             self._mesh = create_mesh(
                 self._settings.num_devices,
                 num_slices=self._settings.num_slices,
+                spatial_partitions=self._settings.spatial_partitions,
             )
         return self._mesh
 

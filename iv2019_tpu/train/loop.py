@@ -99,7 +99,11 @@ def train(
     _RunMetadataHook); ``profile_steps=(a, b)`` traces the explicit window
     [a, b) instead. system.train() passes the reference's default cadence.
     """
-    mesh = mesh or create_mesh(settings.num_devices, num_slices=settings.num_slices)
+    mesh = mesh or create_mesh(
+        settings.num_devices,
+        num_slices=settings.num_slices,
+        spatial_partitions=settings.spatial_partitions,
+    )
     tx, lr_fn = make_optimizer(settings)
     model_settings = settings.replace(mode="train")
 

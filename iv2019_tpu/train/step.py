@@ -122,6 +122,10 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
     use_fused_loss = (
         settings.fused_loss
         and getattr(model, "upsampling_method", None) == "bilinear"
+        # spatial partitioning shards H: the Pallas loss would force an
+        # all-gather of the full-resolution weak labels; the jnp loss is
+        # SPMD-partitioned by XLA (H included) and stays distributed
+        and not (mesh is not None and "spatial" in mesh.axis_names)
         and fused_loss_available(
             (1, 1),
             (settings.height_feature_extractor, settings.width_feature_extractor),
