@@ -119,10 +119,12 @@ def make_scene(seed: int, h: int, w: int):
         lbl[cy : cy + ch, cx : cx + cw] = lid
         objects.append((mid, box(cy, cy + ch, cx, cx + cw)))
 
-    # persons on the sidewalk
+    # persons on the sidewalk (large enough to survive the stride-8
+    # feature grid at small image sizes — sub-8px objects are invisible
+    # to the L1 decision gate)
     for _ in range(rng.randint(0, 3)):
-        ph = rng.randint(max(4, h // 10), max(5, h // 6))
-        pw = max(2, ph // 3)
+        ph = rng.randint(max(12, h // 5), max(14, h // 3))
+        pw = max(4, ph // 3)
         px = rng.randint(0, w - pw)
         py = rng.randint(h_walk - ph + max(1, ph // 4), h_road - ph + ph // 2)
         py = max(h_sky, py)
