@@ -126,6 +126,11 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
         # all-gather of the full-resolution weak labels; the jnp loss is
         # SPMD-partitioned by XLA (H included) and stays distributed
         and not (mesh is not None and "spatial" in mesh.axis_names)
+        # degenerate supervision mixes (per-pixel-only / 2-way) produce
+        # zero-row weak operands, which Mosaic does not compile; the jnp
+        # loss handles empty sub-batches exactly
+        and settings.Nb_per_bbox > 0
+        and settings.Nb_per_image > 0
         and fused_loss_available(
             (1, 1),
             (settings.height_feature_extractor, settings.width_feature_extractor),

@@ -105,6 +105,29 @@ class TestTrainStep:
         w1 = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
         assert not np.allclose(w0, w1)
 
+    def test_per_pixel_only_empty_weak_batches(self, setup):
+        """Degenerate mixes (Nb_per_bbox=0, Nb_per_image=0) must train.
+
+        Zero-row weak operands do not compile through the Mosaic fused
+        loss (regression: the pp-only train_cli run hung in compile);
+        make_train_step must route them to the jnp loss.
+        """
+        settings, model, variables = setup
+        s = settings.replace(Nb_per_bbox=0, Nb_per_image=0)
+        tx, _ = make_optimizer(s)
+        state = create_train_state(
+            jax.tree_util.tree_map(jnp.asarray, variables), tx, s.ema_decay
+        )
+        step_fn = make_train_step(s, model=model, tx=tx)
+        batch = {**synthetic_batch(settings)}
+        for k in ("proimages_per_bbox", "proimages_per_image",
+                  "prolabels_per_bbox", "prolabels_per_image"):
+            batch[k] = batch[k][:0]
+        new_state, metrics = step_fn(state, batch)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["total"]))
+        assert float(metrics["l1_segmentation"]) > 0
+
     def test_sharded_multi_device(self, setup):
         settings, model, variables = setup
         mesh = create_mesh()
