@@ -297,9 +297,12 @@ int main(int argc, char** argv) {
   }
 
   // ---- execute ----
+  // iteration -1 is an untimed warmup: on tunneled devices the first
+  // execute triggers the deferred device compilation (minutes), which
+  // would otherwise dominate the p90
   std::vector<double> lat_ms;
   std::vector<uint8_t> host_out;
-  for (int it = 0; it < iters; ++it) {
+  for (int it = -1; it < iters; ++it) {
     PJRT_ExecuteOptions eopts;
     std::memset(&eopts, 0, sizeof(eopts));
     eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
@@ -346,7 +349,9 @@ int main(int argc, char** argv) {
       AwaitEvent(hargs.event, "d2h done");
     }
     auto t1 = std::chrono::steady_clock::now();
-    lat_ms.push_back(std::chrono::duration<double, std::milli>(t1 - t0).count());
+    if (it >= 0) {
+      lat_ms.push_back(std::chrono::duration<double, std::milli>(t1 - t0).count());
+    }
 
     for (size_t o = 0; o < num_outputs; ++o) {
       PJRT_Buffer_Destroy_Args dargs;
