@@ -25,7 +25,7 @@ import subprocess
 import uuid
 from typing import Optional, Sequence
 
-__all__ = ["build", "find_plugin", "default_options", "serve"]
+__all__ = ["build", "find_plugin", "default_options", "serve", "StreamServer"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "pjrt_loader.cc")
@@ -95,6 +95,81 @@ def default_options(plugin_path: str) -> list[str]:
             "rank=4294967295",
         ]
     return []
+
+
+class StreamServer:
+    """Persistent serving process: compile once, stream frames over pipes.
+
+    Wraps ``pjrt_serve --stream``: the C++ process compiles the exported
+    StableHLO once, then serves fixed-size f32 NHWC frames from stdin,
+    answering each with output 0 (u64-LE size + raw bytes) on stdout.
+    The first ``infer`` blocks until device compilation finishes;
+    subsequent requests pay only execute + transfer. Diagnostics stream to
+    ``stderr_path``.
+    """
+
+    def __init__(
+        self,
+        module_path: str,
+        input_shape: Sequence[int],
+        plugin_path: Optional[str] = None,
+        options: Optional[Sequence[str]] = None,
+    ):
+        bin_path = build()
+        if bin_path is None:
+            raise RuntimeError("pjrt_serve binary unavailable")
+        plugin_path = plugin_path or find_plugin()
+        if plugin_path is None:
+            raise RuntimeError("no PJRT plugin found (set PJRT_PLUGIN_PATH)")
+        if options is None:
+            options = default_options(plugin_path)
+        self.input_shape = tuple(int(d) for d in input_shape)
+        self.stderr_path = os.path.join(
+            os.path.dirname(module_path), "pjrt_serve.stderr"
+        )
+        self._stderr = open(self.stderr_path, "wb")
+        self._proc = subprocess.Popen(
+            [
+                bin_path, plugin_path, module_path,
+                ",".join(str(d) for d in self.input_shape), "--stream", *options,
+            ],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=self._stderr,
+        )
+
+    def infer(self, frame) -> bytes:
+        """Send one f32 NHWC frame; returns output 0's raw bytes."""
+        import numpy as np
+
+        arr = np.ascontiguousarray(frame, dtype=np.float32)
+        if arr.shape != self.input_shape:
+            raise ValueError(f"frame shape {arr.shape} != {self.input_shape}")
+        self._proc.stdin.write(arr.tobytes())
+        self._proc.stdin.flush()
+        header = self._proc.stdout.read(8)
+        if len(header) != 8:
+            raise RuntimeError(
+                f"server died (see {self.stderr_path}); rc={self._proc.poll()}"
+            )
+        size = int.from_bytes(header, "little")
+        out = self._proc.stdout.read(size)
+        if len(out) != size:
+            raise RuntimeError("short response from server")
+        return out
+
+    def close(self) -> None:
+        if self._proc.poll() is None:
+            self._proc.stdin.close()
+            try:
+                self._proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
+        self._stderr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def serve(

@@ -7,7 +7,13 @@
 // device runtime JAX itself sits on — with no Python or TF anywhere in the
 // serving process.
 //
-//   pjrt_serve PLUGIN.so MODULE.mlir N,H,W,C [iters] [key=val ...]
+//   pjrt_serve PLUGIN.so MODULE.mlir N,H,W,C [iters|--stream] [key=val ...]
+//
+// --stream turns the process into a persistent server: after compile and
+// one warmup execute, it reads fixed-size f32 NHWC frames (N*H*W*C*4
+// bytes) from stdin and writes, per frame, an 8-byte little-endian size
+// followed by output 0's bytes to stdout — compile cost amortized across
+// requests, diagnostics (and the one-line JSON report) on stderr.
 //
 // * dlopens any PJRT plugin (libtpu.so, /opt/axon/libaxon_pjrt.so, ...)
 // * creates a client with plugin-specific key=value create-options
@@ -135,7 +141,8 @@ int main(int argc, char** argv) {
     std::string tok;
     while (std::getline(ss, tok, ',')) dims.push_back(std::stoll(tok));
   }
-  int iters = argc > 4 ? std::atoi(argv[4]) : 10;
+  bool stream = argc > 4 && std::strcmp(argv[4], "--stream") == 0;
+  int iters = (argc > 4 && !stream) ? std::atoi(argv[4]) : (stream ? 1 : 10);
 
   // ---- client create options (validated before touching the plugin) ----
   std::vector<Option> opts;
@@ -370,12 +377,111 @@ int main(int argc, char** argv) {
   std::sort(lat_ms.begin(), lat_ms.end());
   double p50 = lat_ms[lat_ms.size() / 2];
   double p90 = lat_ms[static_cast<size_t>(lat_ms.size() * 0.9)];
-  std::printf(
+  std::fprintf(
+      stream ? stderr : stdout,
       "{\"metric\": \"pjrt_serve_p50_latency_ms\", \"value\": %.2f, "
       "\"unit\": \"ms\", \"detail\": {\"p90_ms\": %.2f, \"iters\": %d, "
       "\"outputs\": %zu, \"output0_bytes\": %zu, \"output0_fnv\": "
       "\"%016llx\"}}\n",
       p50, p90, iters, num_outputs, out_bytes,
       static_cast<unsigned long long>(checksum));
+  if (!stream) return 0;
+
+  // ---- persistent streaming server ----
+  // frame in: exactly elems f32 from stdin; response out: u64-LE size +
+  // output-0 bytes on stdout. EOF on stdin ends the process cleanly.
+  const size_t frame_bytes = static_cast<size_t>(elems) * sizeof(float);
+  std::fprintf(stderr, "streaming: frame=%zu bytes, ready\n", frame_bytes);
+  size_t served = 0;
+  for (;;) {
+    size_t got = std::fread(host_in.data(), 1, frame_bytes, stdin);
+    if (got == 0) break;
+    if (got != frame_bytes) Die("short frame on stdin");
+
+    PJRT_Buffer* req_buf = nullptr;
+    {
+      PJRT_Client_BufferFromHostBuffer_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+      args.client = client;
+      args.data = host_in.data();
+      args.type = PJRT_Buffer_Type_F32;
+      args.dims = dims.data();
+      args.num_dims = dims.size();
+      args.host_buffer_semantics =
+          PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+      args.device = device;
+      Check(g_api->PJRT_Client_BufferFromHostBuffer(&args), "h2d");
+      AwaitEvent(args.done_with_host_buffer, "h2d done");
+      req_buf = args.buffer;
+    }
+
+    PJRT_ExecuteOptions eopts;
+    std::memset(&eopts, 0, sizeof(eopts));
+    eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+    static const int64_t kNoDonate[] = {0};
+    eopts.non_donatable_input_indices = kNoDonate;
+    eopts.num_non_donatable_input_indices = 1;
+    PJRT_Buffer* const arg_list[] = {req_buf};
+    PJRT_Buffer* const* const arg_lists[] = {arg_list};
+    std::vector<PJRT_Buffer*> out_list(num_outputs, nullptr);
+    PJRT_Buffer** out_lists[] = {out_list.data()};
+    PJRT_Event* dev_events[] = {nullptr};
+
+    PJRT_LoadedExecutable_Execute_Args eargs;
+    std::memset(&eargs, 0, sizeof(eargs));
+    eargs.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    eargs.executable = exec;
+    eargs.options = &eopts;
+    eargs.argument_lists = arg_lists;
+    eargs.num_devices = 1;
+    eargs.num_args = 1;
+    eargs.output_lists = out_lists;
+    eargs.device_complete_events = dev_events;
+
+    auto t0 = std::chrono::steady_clock::now();
+    Check(g_api->PJRT_LoadedExecutable_Execute(&eargs), "execute");
+    AwaitEvent(dev_events[0], "device completion");
+    if (num_outputs > 0) {
+      PJRT_Buffer_ToHostBuffer_Args hargs;
+      std::memset(&hargs, 0, sizeof(hargs));
+      hargs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      hargs.src = out_list[0];
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&hargs), "d2h size query");
+      host_out.resize(hargs.dst_size);
+      hargs.dst = host_out.data();
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&hargs), "d2h");
+      AwaitEvent(hargs.event, "d2h done");
+    }
+    auto t1 = std::chrono::steady_clock::now();
+
+    uint64_t size_le = static_cast<uint64_t>(host_out.size());
+    if (std::fwrite(&size_le, sizeof(size_le), 1, stdout) != 1 ||
+        (host_out.size() &&
+         std::fwrite(host_out.data(), 1, host_out.size(), stdout) !=
+             host_out.size())) {
+      Die("stdout write failed");
+    }
+    std::fflush(stdout);
+
+    for (size_t o = 0; o < num_outputs; ++o) {
+      PJRT_Buffer_Destroy_Args dargs;
+      std::memset(&dargs, 0, sizeof(dargs));
+      dargs.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      dargs.buffer = out_list[o];
+      Check(g_api->PJRT_Buffer_Destroy(&dargs), "buffer destroy");
+    }
+    {
+      PJRT_Buffer_Destroy_Args dargs;
+      std::memset(&dargs, 0, sizeof(dargs));
+      dargs.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      dargs.buffer = req_buf;
+      Check(g_api->PJRT_Buffer_Destroy(&dargs), "request buffer destroy");
+    }
+    ++served;
+    std::fprintf(stderr, "request %zu: %.2f ms\n", served,
+                 std::chrono::duration<double, std::milli>(t1 - t0).count());
+  }
+  std::fprintf(stderr, "streaming done: %zu requests\n", served);
   return 0;
 }

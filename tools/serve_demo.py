@@ -30,6 +30,8 @@ def main():
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--stream", action="store_true",
+                   help="persistent-server mode: send --iters frames over pipes")
     p.add_argument("--out_dir", default=None)
     args = p.parse_args()
 
@@ -66,6 +68,32 @@ def main():
     paths = export_stablehlo(model, variables, (1, h, w, 3), out_dir)
     size_mb = os.path.getsize(paths["stablehlo"]) / 1e6
     print(f"exported {paths['stablehlo']} ({size_mb:.1f} MB)")
+
+    if args.stream:
+        import time
+
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        lat = []
+        with serving.StreamServer(paths["stablehlo"], (1, h, w, 3)) as srv:
+            for i in range(args.iters):
+                frame = rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+                t0 = time.perf_counter()
+                out = srv.infer(frame)
+                lat.append((time.perf_counter() - t0) * 1e3)
+                if i == 0:
+                    print(f"first request (incl. compile): {lat[0]:.0f} ms, "
+                          f"output0 {len(out)} bytes", file=sys.stderr)
+        steady = sorted(lat[1:]) or lat
+        print(json.dumps({
+            "metric": "pjrt_stream_p50_latency_ms",
+            "value": round(steady[len(steady) // 2], 2),
+            "unit": "ms",
+            "detail": {"requests": len(lat), "first_ms": round(lat[0], 1),
+                       "output0_bytes": len(out)},
+        }))
+        return
 
     report = serving.serve(
         paths["stablehlo"], (1, h, w, 3), iters=args.iters
