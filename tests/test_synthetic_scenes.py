@@ -52,9 +52,12 @@ def dataset(tmp_path_factory):
 
 
 def test_generator_formats(dataset):
-    from iv2019_tpu.input.tfrecord import tfrecord_iterator
+    from iv2019_tpu.input.tfrecord import parse_example, read_tfrecords
 
-    n = sum(1 for _ in tfrecord_iterator(dataset["tfrecords_train"]))
+    records = list(read_tfrecords(dataset["tfrecords_train"]))
+    n = len(records)
+    parsed = parse_example(records[0])
+    assert any("image" in k for k in parsed)
     assert n == 6
     with open(dataset["openimages_bboxes_path"], "rb") as f:
         bboxes = pickle.load(f)
