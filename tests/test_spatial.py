@@ -83,6 +83,23 @@ def test_shard_batch_splits_height():
     assert lbl.shape == (1, 16, 64)
 
 
+def test_prefetch_to_device_spatial_sharding():
+    """The device prefetcher shards H on spatial meshes (and falls back
+    to batch-only sharding for H-indivisible arrays)."""
+    from iv2019_tpu.input.prefetch import _to_device
+
+    mesh = create_mesh(8, spatial_partitions=2)
+    batch = {
+        "img": np.zeros((4, 32, 64, 3), np.float32),
+        "odd_h": np.zeros((4, 33, 64), np.float32),  # 33 % 2 != 0
+        "meta": ["a", "b"],
+    }
+    out = _to_device(batch, mesh)
+    assert out["img"].addressable_shards[0].data.shape == (1, 16, 64, 3)
+    assert out["odd_h"].addressable_shards[0].data.shape == (1, 33, 64)
+    assert out["meta"] == ["a", "b"]
+
+
 def test_train_step_parity_data_vs_spatial():
     """One train step: ('data','spatial') mesh == 1-D data mesh, same batch."""
     n, h, w = 8, 32, 64
