@@ -41,6 +41,12 @@ LID_ROAD, LID_SIDEWALK, LID_BUILDING = 7, 8, 11
 LID_VEGETATION, LID_SKY, LID_PERSON = 21, 23, 24
 LID_CAR, LID_BUS = 26, 28
 
+# vistas label ids (vistas problem01 lids2cids is the identity)
+VISTAS_LIDS = {
+    LID_ROAD: 13, LID_SIDEWALK: 15, LID_BUILDING: 17, LID_VEGETATION: 30,
+    LID_SKY: 27, LID_PERSON: 19, LID_CAR: 55, LID_BUS: 54,
+}
+
 MID_CAR = "/m/0k4j"
 MID_BUS = "/m/01bjv"
 MID_PERSON = "/m/01g317"
@@ -147,29 +153,61 @@ def generate(
     n_weak: int = 256,
     h: int = 128,
     w: int = 256,
+    fmt: str = "cityscapes",
 ) -> dict:
-    """Write the full dataset; returns the paths dict for the CLIs."""
-    from iv2019_tpu.tools.make_tfrecords import cityscapes_pairs, write_pairs
+    """Write the full dataset; returns the paths dict for the CLIs.
+
+    ``fmt='vistas'`` writes the Vistas on-disk layout instead: JPEG images
+    + vistas-label-id PNGs under {split}/{images,labels}/, with per-image
+    size jitter (Vistas images vary in size; the pipeline must resize
+    before batching — reference input_vistas.py:196-198).
+    """
+    from iv2019_tpu.tools.make_tfrecords import (
+        cityscapes_pairs,
+        vistas_pairs,
+        write_pairs,
+    )
 
     paths = {}
-    # --- per-pixel: cityscapes layout -> v5 TFRecords ---
+    # --- per-pixel: dataset layout -> v5 TFRecords ---
     for split, n, seed0 in (("train", n_train, 0), ("val", n_val, 10_000_000)):
-        im_dir = os.path.join(out_dir, "cityscapes", "leftImg8bit", split, "synth")
-        la_dir = os.path.join(out_dir, "cityscapes", "gtFine", split, "synth")
+        if fmt == "cityscapes":
+            im_dir = os.path.join(out_dir, "cityscapes", "leftImg8bit", split, "synth")
+            la_dir = os.path.join(out_dir, "cityscapes", "gtFine", split, "synth")
+        else:
+            im_dir = os.path.join(out_dir, "vistas", split, "images")
+            la_dir = os.path.join(out_dir, "vistas", split, "labels")
         os.makedirs(im_dir, exist_ok=True)
         os.makedirs(la_dir, exist_ok=True)
         for i in range(n):
-            img, lbl, _ = make_scene(seed0 + i, h, w)
-            Image.fromarray(img).save(
-                os.path.join(im_dir, f"s{i:05d}_leftImg8bit.png")
-            )
-            Image.fromarray(lbl).save(
-                os.path.join(la_dir, f"s{i:05d}_gtFine_labelIds.png")
-            )
+            if fmt == "cityscapes":
+                img, lbl, _ = make_scene(seed0 + i, h, w)
+                Image.fromarray(img).save(
+                    os.path.join(im_dir, f"s{i:05d}_leftImg8bit.png")
+                )
+                Image.fromarray(lbl).save(
+                    os.path.join(la_dir, f"s{i:05d}_gtFine_labelIds.png")
+                )
+            else:
+                # vistas: size jitter + jpeg images + vistas label ids
+                jrng = np.random.RandomState(seed0 + i + 1)
+                jh = h + 8 * jrng.randint(-2, 5)
+                jw = w + 8 * jrng.randint(-2, 5)
+                img, lbl, _ = make_scene(seed0 + i, jh, jw)
+                vlbl = np.zeros_like(lbl)
+                for src, dst in VISTAS_LIDS.items():
+                    vlbl[lbl == src] = dst
+                Image.fromarray(img).save(
+                    os.path.join(im_dir, f"s{i:05d}.jpg"), quality=92
+                )
+                Image.fromarray(vlbl).save(os.path.join(la_dir, f"s{i:05d}.png"))
         tfr = os.path.join(out_dir, f"{split}.tfrecords")
-        count = write_pairs(
-            cityscapes_pairs(os.path.join(out_dir, "cityscapes"), split), tfr
+        pairs = (
+            cityscapes_pairs(os.path.join(out_dir, "cityscapes"), split)
+            if fmt == "cityscapes"
+            else vistas_pairs(os.path.join(out_dir, "vistas"), split)
         )
+        count = write_pairs(pairs, tfr)
         assert count == n, (count, n)
         paths[f"tfrecords_{split}"] = tfr
     # --- weak sets: jpgs + bbox/image-label pickles ---
@@ -201,9 +239,11 @@ def main():
     p.add_argument("--n_weak", type=int, default=256)
     p.add_argument("--height", type=int, default=128)
     p.add_argument("--width", type=int, default=256)
+    p.add_argument("--format", default="cityscapes", choices=["cityscapes", "vistas"])
     args = p.parse_args()
     paths = generate(
-        args.out_dir, args.n_train, args.n_val, args.n_weak, args.height, args.width
+        args.out_dir, args.n_train, args.n_val, args.n_weak,
+        args.height, args.width, fmt=args.format,
     )
     for k, v in paths.items():
         print(f"{k}: {v}")
