@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from typing import Any, Optional
 
 __all__ = ["Settings", "build_argparser", "settings_from_args", "TRAIN", "EVAL", "PREDICT"]
@@ -403,6 +404,9 @@ def _add_inference_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--restore_emas", action="store_true")
     p.add_argument("--train_void_class", action="store_true")
     p.add_argument("--results_dir", type=str, default=None)
+    p.add_argument("--per_pixel_dataset_name", type=str, default=None,
+                   choices=["cityscapes", "vistas"],
+                   help="training dataset (default: read from log_dir/settings.txt)")
     p.add_argument("--plotting", action="store_true")
     p.add_argument("--plotting_overlapped", action="store_true")
     p.add_argument("--plot_l1_confidence", action="store_true")
@@ -428,8 +432,11 @@ def _add_evaluate_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--restore_emas", action="store_true")
     p.add_argument("--tfrecords_path", type=str, default="")
     p.add_argument("--dataset_directory", type=str, default="")
-    p.add_argument("--per_pixel_dataset_name", type=str, default="cityscapes",
-                   choices=["cityscapes", "vistas"])
+    p.add_argument("--per_pixel_dataset_name", type=str, default=None,
+                   choices=["cityscapes", "vistas"],
+                   help="training dataset (default: read from log_dir/settings.txt; "
+                        "the reference makes this a required positional, "
+                        "evaluate.py:29-33)")
 
 
 def build_argparser(mode: str) -> argparse.ArgumentParser:
@@ -443,6 +450,45 @@ def build_argparser(mode: str) -> argparse.ArgumentParser:
     elif mode == EVAL:
         _add_evaluate_arguments(p)
     return p
+
+
+def dataset_name_from_log_dir(log_dir: str) -> Optional[str]:
+    """Read per_pixel_dataset_name from a training run's settings.txt.
+
+    Evaluate/predict must rebuild the *trained* model (vistas and
+    cityscapes differ in head widths: 53/12/5 vs 14/7/3); defaulting
+    silently to cityscapes against a vistas checkpoint fails deep inside
+    checkpoint restore with a shape error. The reference forces the user
+    to repeat the dataset name as a positional (evaluate.py:29-33); we
+    read it from the run itself.
+    """
+    try:
+        with open(os.path.join(log_dir, "settings.txt")) as f:
+            for line in f:
+                parts = [t.strip() for t in line.split(":")]
+                if len(parts) == 3 and parts[1] == "per_pixel_dataset_name":
+                    return parts[2]
+    except OSError:
+        return None
+    return None
+
+
+def resolve_dataset_name(settings: Settings, explicit: Optional[str]) -> Settings:
+    """Apply the trained dataset name for eval/predict modes.
+
+    ``explicit`` is the CLI value (None = flag not given -> use the
+    training run's settings.txt). An explicit value that contradicts the
+    training run is a hard error, not a silent shape mismatch later.
+    """
+    trained = dataset_name_from_log_dir(settings.log_dir)
+    if explicit is None:
+        return settings.replace(per_pixel_dataset_name=trained or "cityscapes")
+    if trained and trained != explicit:
+        raise SystemExit(
+            f"--per_pixel_dataset_name {explicit} contradicts the training "
+            f"run in {settings.log_dir} (settings.txt says {trained})."
+        )
+    return settings
 
 
 def settings_from_args(args: argparse.Namespace, mode: str, **extra: Any) -> Settings:

@@ -14,7 +14,12 @@ import os
 import pickle
 import sys
 
-from iv2019_tpu.config import EVAL, build_argparser, settings_from_args
+from iv2019_tpu.config import (
+    EVAL,
+    build_argparser,
+    resolve_dataset_name,
+    settings_from_args,
+)
 from iv2019_tpu.input.cityscapes import evaluate_input
 from iv2019_tpu.system import SemanticSegmentation
 from iv2019_tpu.utils.metrics import print_metrics_from_confusion_matrix
@@ -23,6 +28,7 @@ from iv2019_tpu.utils.metrics import print_metrics_from_confusion_matrix
 def main(argv):
     args = build_argparser(EVAL).parse_args(argv)
     settings = settings_from_args(args, EVAL)
+    settings = resolve_dataset_name(settings, args.per_pixel_dataset_name)
 
     system = SemanticSegmentation({"eval": evaluate_input}, settings=settings)
     all_metrics = system.evaluate()

@@ -31,7 +31,12 @@ import time
 import numpy as np
 from PIL import Image
 
-from iv2019_tpu.config import PREDICT, build_argparser, settings_from_args
+from iv2019_tpu.config import (
+    PREDICT,
+    build_argparser,
+    resolve_dataset_name,
+    settings_from_args,
+)
 from iv2019_tpu.input.dataset_agnostic import predict_input
 from iv2019_tpu.system import SemanticSegmentation
 
@@ -109,6 +114,7 @@ def _plot_frame(item, out_dir, palette, settings, n, plt) -> None:
 def main(argv):
     args = build_argparser(PREDICT).parse_args(argv)
     settings = settings_from_args(args, PREDICT, predict_keys=PREDICT_KEYS)
+    settings = resolve_dataset_name(settings, args.per_pixel_dataset_name)
 
     def _predict_fn(s, _problem_def):
         return predict_input(s)

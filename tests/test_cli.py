@@ -82,3 +82,60 @@ class TestEvalPredictCli:
         assert s.predict_dir == "/tmp/images"
         assert s.restore_emas and s.replace_voids and s.plotting
         assert s.Nb == 1  # predict default
+
+
+class TestDatasetNameResolution:
+    """Eval/predict must rebuild the *trained* model: the dataset name
+    comes from log_dir/settings.txt unless explicitly (and consistently)
+    given — a cityscapes-headed model against a vistas checkpoint dies
+    deep in restore otherwise (regression from the vistas quality run)."""
+
+    def _trained_log(self, tmp_path, name):
+        from iv2019_tpu.config import Settings
+
+        s = Settings(
+            per_pixel_dataset_name=name, log_dir=str(tmp_path), mode="train",
+            Ntrain=8, Ne=3, learning_rate_boundaries=(1, 2),
+            learning_rate_values=(0.01, 0.005, 0.0025),
+        ).finalize()
+        s.dump(str(tmp_path / "settings.txt"))
+        return str(tmp_path)
+
+    def test_reads_trained_name(self, tmp_path):
+        from iv2019_tpu.config import dataset_name_from_log_dir
+
+        log = self._trained_log(tmp_path, "vistas")
+        assert dataset_name_from_log_dir(log) == "vistas"
+        assert dataset_name_from_log_dir(str(tmp_path / "missing")) is None
+
+    def test_eval_infers_vistas_from_settings(self, tmp_path):
+        from iv2019_tpu.config import resolve_dataset_name
+
+        log = self._trained_log(tmp_path, "vistas")
+        args = build_argparser(EVAL).parse_args(["" + log, "10", CITYSCAPES_JSON])
+        s = settings_from_args(args, EVAL)
+        s = resolve_dataset_name(s, args.per_pixel_dataset_name)
+        assert s.per_pixel_dataset_name == "vistas"
+
+    def test_explicit_mismatch_is_hard_error(self, tmp_path):
+        import pytest
+
+        from iv2019_tpu.config import resolve_dataset_name
+
+        log = self._trained_log(tmp_path, "vistas")
+        args = build_argparser(EVAL).parse_args(
+            [log, "10", CITYSCAPES_JSON, "--per_pixel_dataset_name", "cityscapes"]
+        )
+        s = settings_from_args(args, EVAL)
+        with pytest.raises(SystemExit, match="contradicts"):
+            resolve_dataset_name(s, args.per_pixel_dataset_name)
+
+    def test_no_settings_txt_defaults_cityscapes(self, tmp_path):
+        from iv2019_tpu.config import resolve_dataset_name
+
+        args = build_argparser(EVAL).parse_args(
+            [str(tmp_path), "10", CITYSCAPES_JSON]
+        )
+        s = settings_from_args(args, EVAL)
+        s = resolve_dataset_name(s, args.per_pixel_dataset_name)
+        assert s.per_pixel_dataset_name == "cityscapes"
