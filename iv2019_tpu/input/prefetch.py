@@ -43,7 +43,9 @@ def _to_device(batch: dict, mesh) -> dict:
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
             shardable = v.ndim > 0 and v.shape[0] > 0 and v.shape[0] % n_batch == 0
-            spatial_ok = shardable and v.ndim > 1 and v.shape[1] % n_sp == 0
+            # rank>=3 only: images/labels are [N,H,W,...]; a [N,C] array
+            # must not have its class dim sharded as 'spatial'
+            spatial_ok = shardable and v.ndim > 2 and v.shape[1] % n_sp == 0
             if not shardable and v.ndim > 0 and v.shape[0] > 0 and mesh.size > 1:
                 # replication fallback: correct, but the work runs on one
                 # chip's slice of data while the rest idle (VERDICT weak #5)

@@ -31,6 +31,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "apply_augmentations",
@@ -310,46 +311,108 @@ def random_color(key, images):
     return jax.vmap(_distort)(images, deltas_b, factors_s, deltas_h, factors_c)
 
 
-def _median3(img):
-    """Exact 3x3 median filter via sorting network, channelwise."""
-    pads = [(1, 1), (1, 1), (0, 0)]
-    p = jnp.pad(img, pads, mode="edge")
-    h, w = img.shape[0], img.shape[1]
-    vals = [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
-    x = jnp.stack(vals, axis=0)
-    return jnp.median(x, axis=0)
+def blur_max_radius(h: int, w: int) -> int:
+    """Max blur radius at a resolution: the reference draws kernel size
+    ``2*(randint(0, rint(1.4*(res+1))) + 1) + 1`` with res in megapixels
+    (augmentation_library.py:448-452), i.e. radius in [1, rint(1.4*(res+1))].
+    """
+    res = h * w / 1e6
+    return max(int(np.rint(1.4 * (res + 1.0))), 1)
 
 
-def _gaussian_blur(img, sigma: float = 1.5, radius: int = 3):
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-(x**2) / (2 * sigma**2))
-    k = k / k.sum()
-    p = jnp.pad(img, [(radius, radius), (radius, radius), (0, 0)], mode="edge")
+def blur_sigma_space(h: int, w: int) -> float:
+    """Reference bilateral sigma: rint(25*(res+1)), res in megapixels
+    (augmentation_library.py:458)."""
+    res = h * w / 1e6
+    return float(np.rint(25.0 * (res + 1.0)))
+
+
+def _median_filter(img, radius, max_radius: int):
+    """cv2.medianBlur parity: uint8-quantized median over a (2r+1)^2 window,
+    BORDER_REPLICATE, per-channel; ``radius`` may be a traced scalar in
+    [1, max_radius] (taps outside the current radius are masked out of the
+    sort). Reference augmentation_library.py:454-457.
+    """
     h, w = img.shape[0], img.shape[1]
-    rows = sum(k[i] * p[i : i + h, radius : radius + w] for i in range(2 * radius + 1))
-    p2 = jnp.pad(rows, [(0, 0), (radius, radius), (0, 0)], mode="edge")
-    return sum(k[i] * p2[:, i : i + w] for i in range(2 * radius + 1))
+    R = max_radius
+    q = jnp.floor(img * 255.0)  # cv2 path quantizes: (img*255).astype(uint8)
+    p = jnp.pad(q, [(R, R), (R, R), (0, 0)], mode="edge")
+    taps, dys, dxs = [], [], []
+    for dy in range(-R, R + 1):
+        for dx in range(-R, R + 1):
+            taps.append(p[R + dy : R + dy + h, R + dx : R + dx + w])
+            dys.append(dy)
+            dxs.append(dx)
+    x = jnp.stack(taps, axis=-1)  # (h, w, c, K)
+    off = jnp.maximum(jnp.abs(jnp.asarray(dys)), jnp.abs(jnp.asarray(dxs)))
+    invalid = off > radius  # (K,)
+    # masked median: invalid taps sort to the end; the median of the
+    # k^2 = (2r+1)^2 valid taps is the element at index 2r^2+2r
+    x = jnp.where(invalid, jnp.inf, x)
+    x = jnp.sort(x, axis=-1)
+    idx = 2 * radius * radius + 2 * radius
+    med = jnp.take_along_axis(
+        x, jnp.broadcast_to(idx, x.shape[:-1])[..., None], axis=-1
+    )[..., 0]
+    return med / 255.0
+
+
+def _bilateral_filter(img, radius, max_radius: int, sigma: float):
+    """cv2.bilateralFilter parity: Gaussian space weight exp(-.5 d2/ss^2) x
+    Gaussian range weight exp(-.5 (L1 color diff)^2/sc^2), window diameter
+    2r+1 (cv2 radius = d//2), BORDER_REFLECT_101. The reference calls it on
+    [0,1) floats with sigmaColor = sigmaSpace = rint(25*(res+1))
+    (augmentation_library.py:457-459) — with unit-range data the range
+    kernel is then ~1, but the implementation is exact for any sigma.
+    """
+    h, w = img.shape[0], img.shape[1]
+    R = max_radius
+    p = jnp.pad(img, [(R, R), (R, R), (0, 0)], mode="reflect")
+    num = jnp.zeros_like(img)
+    den = jnp.zeros((h, w, 1), img.dtype)
+    inv2s2 = 0.5 / (sigma * sigma)
+    for dy in range(-R, R + 1):
+        for dx in range(-R, R + 1):
+            tap = p[R + dy : R + dy + h, R + dx : R + dx + w]
+            # cv2 gathers a CIRCULAR window: sqrt(dy^2+dx^2) <= radius
+            valid = ((dy * dy + dx * dx) <= radius * radius).astype(img.dtype)
+            space_w = jnp.exp(-(dy * dy + dx * dx) * inv2s2)
+            diff = jnp.abs(tap - img).sum(axis=-1, keepdims=True)
+            wgt = valid * space_w * jnp.exp(-(diff * diff) * inv2s2)
+            num = num + wgt * tap
+            den = den + wgt
+    return num / den
 
 
 def random_blur(key, images):
-    """p=1/2 blur: median 3x3 or edge-preserving Gaussian (batch-wide selector).
+    """p=1/2 blur, cv2-parity: median or bilateral, batch-wide selector,
+    per-image resolution-dependent random kernel size.
 
-    The reference shells out to cv2 median/bilateral via py_func with
-    resolution-dependent kernel sizes; on device we use an exact 3x3 median
-    and a Gaussian as the bilateral stand-in (capability parity — the
-    reference disables augmentation at its call sites by default).
+    Faithful to reference augmentation_library.py:408-466: ``blu_r ~ U{0..3}``
+    selects median (0) / bilateral (1) / identity (2, 3) for the WHOLE batch;
+    each image then draws its own kernel radius in [1, rint(1.4*(res+1))]
+    (median additionally uint8-quantizes like cv2.medianBlur). Implemented
+    as masked-window gather/sort kernels on device instead of a cv2 py_func.
     """
-    blu_r = jax.random.randint(key, (), 0, 4)
+    n, h, w = images.shape[0], images.shape[1], images.shape[2]
+    max_r = blur_max_radius(h, w)
+    sigma = blur_sigma_space(h, w)
+    k1, k2 = jax.random.split(key)
+    blu_r = jax.random.randint(k1, (), 0, 4)
+    radii = jax.random.randint(k2, (n,), 1, max_r + 1)
 
-    def _apply(imgs):
-        return jax.lax.switch(
-            jnp.minimum(blu_r, 2),
-            [
-                lambda x: jax.vmap(_median3)(x),
-                lambda x: jax.vmap(_gaussian_blur)(x),
-                lambda x: x,
-            ],
-            imgs,
-        )
+    def _median(args):
+        imgs, r = args
+        return jax.vmap(lambda im, ri: _median_filter(im, ri, max_r))(imgs, r)
 
-    return _apply(images)
+    def _bilateral(args):
+        imgs, r = args
+        return jax.vmap(
+            lambda im, ri: _bilateral_filter(im, ri, max_r, sigma)
+        )(imgs, r)
+
+    return jax.lax.switch(
+        jnp.minimum(blu_r, 2),
+        [_median, _bilateral, lambda a: a[0]],
+        (images, radii),
+    )

@@ -139,7 +139,10 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         shape = np.shape(x)
         if not shape or shape[0] == 0:
             return rs
-        if len(shape) >= 2 and shape[1] % n_sp == 0:
+        # only rank>=3 arrays have a spatial dim 1 (images [N,H,W,3],
+        # labels [N,H,W(,C)]); a [N,C] array with divisible C must not get
+        # its class dim labeled 'spatial' (silent resharding every step)
+        if len(shape) >= 3 and shape[1] % n_sp == 0:
             return ims
         return bs
 

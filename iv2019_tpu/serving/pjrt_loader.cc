@@ -7,13 +7,17 @@
 // device runtime JAX itself sits on — with no Python or TF anywhere in the
 // serving process.
 //
-//   pjrt_serve PLUGIN.so MODULE.mlir N,H,W,C [iters|--stream] [key=val ...]
+//   pjrt_serve PLUGIN.so MODULE.mlir N,H,W,C[:u8] [iters|--stream] [key=val ...]
 //
 // --stream turns the process into a persistent server: after compile and
-// one warmup execute, it reads fixed-size f32 NHWC frames (N*H*W*C*4
-// bytes) from stdin and writes, per frame, an 8-byte little-endian size
-// followed by output 0's bytes to stdout — compile cost amortized across
-// requests, diagnostics (and the one-line JSON report) on stderr.
+// one warmup execute, it reads fixed-size NHWC frames (f32 by default;
+// ":u8" suffix on the shape switches the wire+device input to uint8 for
+// modules exported with export_model wire_u8 — 4x less transfer) from
+// stdin and writes, per frame, an 8-byte little-endian size followed by
+// output 0's bytes to stdout — compile cost amortized across requests,
+// diagnostics (and the one-line JSON report) on stderr. A reader thread
+// overlaps the next frame's stdin read with the current execute, so a
+// pipelined client gets execute-bound throughput, not (read+execute+write).
 //
 // * dlopens any PJRT plugin (libtpu.so, /opt/axon/libaxon_pjrt.so, ...)
 // * creates a client with plugin-specific key=value create-options
@@ -33,13 +37,16 @@
 
 #include <algorithm>
 #include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <fstream>
+#include <mutex>
 #include <sstream>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
@@ -136,13 +143,26 @@ int main(int argc, char** argv) {
   const char* module_path = argv[2];
 
   std::vector<int64_t> dims;
+  bool u8_input = false;
   {
-    std::stringstream ss(argv[3]);
+    std::string shape_arg = argv[3];
+    size_t colon = shape_arg.find(':');
+    if (colon != std::string::npos) {
+      std::string dt = shape_arg.substr(colon + 1);
+      if (dt == "u8") u8_input = true;
+      else if (dt != "f32") Die("bad dtype suffix (want :u8 or :f32): " + dt);
+      shape_arg.resize(colon);
+    }
+    std::stringstream ss(shape_arg);
     std::string tok;
     while (std::getline(ss, tok, ',')) dims.push_back(std::stoll(tok));
   }
+  const size_t dsize = u8_input ? 1 : sizeof(float);
+  const PJRT_Buffer_Type in_type =
+      u8_input ? PJRT_Buffer_Type_U8 : PJRT_Buffer_Type_F32;
   bool stream = argc > 4 && std::strcmp(argv[4], "--stream") == 0;
   int iters = (argc > 4 && !stream) ? std::atoi(argv[4]) : (stream ? 1 : 10);
+  if (iters < 1) iters = 1;  // lat_ms percentile report requires >=1 sample
 
   // ---- client create options (validated before touching the plugin) ----
   std::vector<Option> opts;
@@ -277,12 +297,19 @@ int main(int argc, char** argv) {
   }
   std::fprintf(stderr, "executable outputs: %zu\n", num_outputs);
 
-  // ---- input buffer: synthetic image batch in [-1, 1) ----
+  // ---- input buffer: synthetic image batch ([-1,1) f32 or raw u8) ----
   int64_t elems = 1;
   for (int64_t d : dims) elems *= d;
-  std::vector<float> host_in(static_cast<size_t>(elems));
-  for (size_t i = 0; i < host_in.size(); ++i) {
-    host_in[i] = -1.0f + 2.0f * static_cast<float>((i * 2654435761u) % 1000) / 1000.0f;
+  std::vector<uint8_t> host_in(static_cast<size_t>(elems) * dsize);
+  if (u8_input) {
+    for (size_t i = 0; i < host_in.size(); ++i) {
+      host_in[i] = static_cast<uint8_t>((i * 2654435761u) % 256);
+    }
+  } else {
+    float* f = reinterpret_cast<float*>(host_in.data());
+    for (int64_t i = 0; i < elems; ++i) {
+      f[i] = -1.0f + 2.0f * static_cast<float>((i * 2654435761u) % 1000) / 1000.0f;
+    }
   }
 
   PJRT_Buffer* in_buf = nullptr;
@@ -292,7 +319,7 @@ int main(int argc, char** argv) {
     args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
     args.client = client;
     args.data = host_in.data();
-    args.type = PJRT_Buffer_Type_F32;
+    args.type = in_type;
     args.dims = dims.data();
     args.num_dims = dims.size();
     args.host_buffer_semantics =
@@ -388,15 +415,55 @@ int main(int argc, char** argv) {
   if (!stream) return 0;
 
   // ---- persistent streaming server ----
-  // frame in: exactly elems f32 from stdin; response out: u64-LE size +
-  // output-0 bytes on stdout. EOF on stdin ends the process cleanly.
-  const size_t frame_bytes = static_cast<size_t>(elems) * sizeof(float);
-  std::fprintf(stderr, "streaming: frame=%zu bytes, ready\n", frame_bytes);
+  // frame in: exactly elems x dsize bytes from stdin; response out: u64-LE
+  // size + output-0 bytes on stdout. EOF on stdin ends the process cleanly.
+  // A reader thread pulls the NEXT frame from stdin while the device runs
+  // the current one (double buffer + 1-slot mailbox): a pipelined client
+  // sees execute-bound req/s instead of read+execute+write.
+  const size_t frame_bytes = static_cast<size_t>(elems) * dsize;
+  std::fprintf(stderr, "streaming: frame=%zu bytes (%s), ready\n",
+               frame_bytes, u8_input ? "u8" : "f32");
   size_t served = 0;
+
+  std::vector<uint8_t> frames[2] = {
+      std::vector<uint8_t>(frame_bytes), std::vector<uint8_t>(frame_bytes)};
+  std::mutex mu;
+  std::condition_variable cv_full, cv_free;
+  int ready_slot = -1;      // slot holding an unconsumed frame
+  bool reader_eof = false;  // stdin closed / short frame
+  int free_slot = 0;        // next slot the reader may fill
+
+  std::thread reader([&] {
+    for (;;) {
+      int slot;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_free.wait(lk, [&] { return ready_slot == -1 || reader_eof; });
+        if (reader_eof) return;
+        slot = free_slot;
+      }
+      size_t got = std::fread(frames[slot].data(), 1, frame_bytes, stdin);
+      std::unique_lock<std::mutex> lk(mu);
+      if (got != frame_bytes) {
+        if (got != 0) std::fprintf(stderr, "short frame on stdin\n");
+        reader_eof = true;
+        cv_full.notify_one();
+        return;
+      }
+      ready_slot = slot;
+      free_slot = 1 - slot;
+      cv_full.notify_one();
+    }
+  });
+
   for (;;) {
-    size_t got = std::fread(host_in.data(), 1, frame_bytes, stdin);
-    if (got == 0) break;
-    if (got != frame_bytes) Die("short frame on stdin");
+    int slot;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_full.wait(lk, [&] { return ready_slot != -1 || reader_eof; });
+      if (ready_slot == -1) break;  // EOF and no pending frame
+      slot = ready_slot;
+    }
 
     PJRT_Buffer* req_buf = nullptr;
     {
@@ -404,8 +471,8 @@ int main(int argc, char** argv) {
       std::memset(&args, 0, sizeof(args));
       args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
       args.client = client;
-      args.data = host_in.data();
-      args.type = PJRT_Buffer_Type_F32;
+      args.data = frames[slot].data();
+      args.type = in_type;
       args.dims = dims.data();
       args.num_dims = dims.size();
       args.host_buffer_semantics =
@@ -414,6 +481,13 @@ int main(int argc, char** argv) {
       Check(g_api->PJRT_Client_BufferFromHostBuffer(&args), "h2d");
       AwaitEvent(args.done_with_host_buffer, "h2d done");
       req_buf = args.buffer;
+    }
+    {
+      // frame copied to device: hand the slot back to the reader so the
+      // next stdin read overlaps this request's execute + d2h
+      std::unique_lock<std::mutex> lk(mu);
+      ready_slot = -1;
+      cv_free.notify_one();
     }
 
     PJRT_ExecuteOptions eopts;
@@ -482,6 +556,12 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "request %zu: %.2f ms\n", served,
                  std::chrono::duration<double, std::milli>(t1 - t0).count());
   }
+  {
+    std::unique_lock<std::mutex> lk(mu);
+    reader_eof = true;
+    cv_free.notify_one();
+  }
+  reader.join();
   std::fprintf(stderr, "streaming done: %zu requests\n", served);
   return 0;
 }

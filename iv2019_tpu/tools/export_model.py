@@ -21,19 +21,39 @@ import os
 import sys
 
 
-def export_stablehlo(model, variables, input_shape, out_dir: str) -> dict:
+def export_stablehlo(
+    model, variables, input_shape, out_dir: str, wire_u8: bool = False
+) -> dict:
+    """Export the forward pass as StableHLO.
+
+    ``wire_u8=True`` exports a wire-optimized serving signature: the input
+    is raw uint8 NHWC (normalized to [-1,1) on device — reference
+    from_0_1_to_m1_1, input_pipelines/utils.py:96-112) and output 0 is the
+    decisions cast to uint8 — 4x less host<->device transfer per request in
+    both directions, which dominates serving latency on a tunneled chip.
+    """
     import jax
     import jax.numpy as jnp
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def forward(images):
-        preds = model.apply(variables, images)
-        return preds["decisions"], preds["l1_probabilities"]
+    if wire_u8:
 
-    lowered = jax.jit(forward).lower(
-        jax.ShapeDtypeStruct(input_shape, jnp.float32)
-    )
+        def forward(images_u8):
+            images = images_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            preds = model.apply(variables, images)
+            return preds["decisions"].astype(jnp.uint8), preds["l1_probabilities"]
+
+        in_spec = jax.ShapeDtypeStruct(input_shape, jnp.uint8)
+    else:
+
+        def forward(images):
+            preds = model.apply(variables, images)
+            return preds["decisions"], preds["l1_probabilities"]
+
+        in_spec = jax.ShapeDtypeStruct(input_shape, jnp.float32)
+
+    lowered = jax.jit(forward).lower(in_spec)
     paths = {}
     shlo_path = os.path.join(out_dir, "forward.stablehlo.mlir")
     with open(shlo_path, "w") as f:

@@ -126,9 +126,10 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
         # all-gather of the full-resolution weak labels; the jnp loss is
         # SPMD-partitioned by XLA (H included) and stays distributed
         and not (mesh is not None and "spatial" in mesh.axis_names)
-        # degenerate supervision mixes (per-pixel-only / 2-way) produce
-        # zero-row weak operands, which Mosaic does not compile; the jnp
+        # degenerate supervision mixes (per-pixel-only / weak-only / 2-way)
+        # produce zero-row operands, which Mosaic does not compile; the jnp
         # loss handles empty sub-batches exactly
+        and settings.Nb_per_pixel > 0
         and settings.Nb_per_bbox > 0
         and settings.Nb_per_image > 0
         and fused_loss_available(

@@ -91,10 +91,48 @@ class TestGroupEvalBatches:
     def test_partial_tail_and_shape_change_flush(self):
         batches = [self._b(1, tag=0), self._b(1, hw=(8, 6), tag=1), self._b(1, hw=(8, 6), tag=2)]
         out = list(_group_eval_batches(iter(batches), 4))
-        # shape change forces a flush: [b0], [b1, b2]
+        # shape change forces a flush: [b0], [b1, b2]; both padded to 4 rows
         assert len(out) == 2
-        assert out[0]["proimages"].shape == (1, 4, 6, 3)
-        assert out[1]["proimages"].shape == (2, 8, 6, 3)
+        assert out[0]["proimages"].shape == (4, 4, 6, 3)
+        assert out[1]["proimages"].shape == (4, 8, 6, 3)
+        # padded label rows are the ignore value (-1) and padded images zero
+        np.testing.assert_array_equal(out[0]["prolabels"][1:], -1)
+        np.testing.assert_array_equal(out[0]["proimages"][1:], 0.0)
+        # real rows untouched
+        np.testing.assert_array_equal(out[1]["prolabels"][0], 1)
+        np.testing.assert_array_equal(out[1]["prolabels"][1], 2)
+
+    def test_tail_padding_single_compiled_shape(self):
+        # 9 Nb=1 batches on a 4-chip mesh: 2 full groups + padded tail, all
+        # the SAME shape -> one jit compile per eval sweep (VERDICT r2 #7)
+        batches = [self._b(1, tag=i) for i in range(9)]
+        out = list(_group_eval_batches(iter(batches), 4))
+        assert len(out) == 3
+        assert {o["proimages"].shape for o in out} == {(4, 4, 6, 3)}
+        np.testing.assert_array_equal(out[2]["prolabels"][0, 0, 0], 8)
+        np.testing.assert_array_equal(out[2]["prolabels"][1:], -1)
+
+    def test_padded_rows_do_not_affect_confusion_matrix(self):
+        import jax.numpy as jnp
+
+        from iv2019_tpu.ops.confusion import confusion_matrix
+
+        batches = [self._b(1, tag=1)]
+        (out,) = _group_eval_batches(iter(batches), 4)
+        labels = jnp.asarray(out["prolabels"])
+        preds = jnp.zeros_like(labels)  # predict class 0 everywhere
+        cm = np.asarray(confusion_matrix(labels, preds, 3))
+        # only the 24 real pixels (label 1, pred 0) counted; -1 rows dropped
+        assert cm.sum() == 24 and cm[1, 0] == 24
+
+    def test_unsigned_labels_pad_out_of_range(self):
+        batches = [{
+            "proimages": np.zeros((1, 4, 6, 3), np.float32),
+            "prolabels": np.ones((1, 4, 6), np.uint8),
+        }]
+        (out,) = _group_eval_batches(iter(batches), 2)
+        assert out["prolabels"].dtype == np.uint8
+        np.testing.assert_array_equal(out["prolabels"][1], 255)
 
     def test_group_one_is_identity(self):
         batches = [self._b(2, tag=0), self._b(1, tag=1)]

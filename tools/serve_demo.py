@@ -32,6 +32,13 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--stream", action="store_true",
                    help="persistent-server mode: send --iters frames over pipes")
+    p.add_argument("--batch", type=int, default=1,
+                   help="requests per frame (compiled batch dim N)")
+    p.add_argument("--u8", action="store_true",
+                   help="uint8 wire input (export wire_u8): 4x less transfer")
+    p.add_argument("--pipelined", action="store_true",
+                   help="with --stream: measure pipelined req/s (infer_many) "
+                        "in addition to sequential p50")
     p.add_argument("--out_dir", default=None)
     args = p.parse_args()
 
@@ -64,10 +71,13 @@ def main():
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32)
     )
+    nb = args.batch
+    shape = (nb, h, w, 3)
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="serve_demo_")
-    paths = export_stablehlo(model, variables, (1, h, w, 3), out_dir)
+    paths = export_stablehlo(model, variables, shape, out_dir, wire_u8=args.u8)
     size_mb = os.path.getsize(paths["stablehlo"]) / 1e6
-    print(f"exported {paths['stablehlo']} ({size_mb:.1f} MB)")
+    print(f"exported {paths['stablehlo']} ({size_mb:.1f} MB, batch {nb}, "
+          f"{'u8' if args.u8 else 'f32'} wire)")
 
     if args.stream:
         import time
@@ -75,28 +85,49 @@ def main():
         import numpy as np
 
         rng = np.random.RandomState(0)
+        dtype = "uint8" if args.u8 else "float32"
+
+        def _frame():
+            if args.u8:
+                return rng.randint(0, 256, shape, dtype=np.uint8)
+            return rng.uniform(-1, 1, shape).astype(np.float32)
+
         lat = []
-        with serving.StreamServer(paths["stablehlo"], (1, h, w, 3)) as srv:
+        with serving.StreamServer(
+            paths["stablehlo"], shape, input_dtype=dtype
+        ) as srv:
             for i in range(args.iters):
-                frame = rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+                frame = _frame()
                 t0 = time.perf_counter()
                 out = srv.infer(frame)
                 lat.append((time.perf_counter() - t0) * 1e3)
                 if i == 0:
                     print(f"first request (incl. compile): {lat[0]:.0f} ms, "
                           f"output0 {len(out)} bytes", file=sys.stderr)
+            pipelined = None
+            if args.pipelined:
+                frames = [_frame() for _ in range(args.iters)]
+                t0 = time.perf_counter()
+                outs = srv.infer_many(frames)
+                dt = time.perf_counter() - t0
+                pipelined = {
+                    "req_per_s": round(len(outs) / dt, 2),
+                    "img_per_s": round(len(outs) * nb / dt, 2),
+                }
         steady = sorted(lat[1:]) or lat
         print(json.dumps({
             "metric": "pjrt_stream_p50_latency_ms",
             "value": round(steady[len(steady) // 2], 2),
             "unit": "ms",
             "detail": {"requests": len(lat), "first_ms": round(lat[0], 1),
-                       "output0_bytes": len(out)},
+                       "output0_bytes": len(out), "batch": nb,
+                       "wire": "u8" if args.u8 else "f32",
+                       "pipelined": pipelined},
         }))
         return
 
     report = serving.serve(
-        paths["stablehlo"], (1, h, w, 3), iters=args.iters
+        paths["stablehlo"], shape, iters=args.iters
     )
     stderr = report.pop("stderr", "")
     print(stderr, file=sys.stderr)
