@@ -67,6 +67,7 @@ def main(steps: int = 20, warmup: int = 3):
         bn_impl=os.environ.get("IV_BN_IMPL", "flax"),
         dilation_mode=os.environ.get("IV_DILATION_MODE", "dilated"),
         root_conv_s2d=os.environ.get("IV_ROOT_S2D", "0") == "1",
+        root_wgrad_pallas=os.environ.get("IV_ROOT_WGRAD_PALLAS", "0") == "1",
     ).finalize()
 
     model = build_model(settings.replace(mode="train"))
@@ -147,6 +148,7 @@ def main(steps: int = 20, warmup: int = 3):
         and settings.bn_impl == "flax"
         and settings.dilation_mode == "dilated"
         and not settings.root_conv_s2d
+        and not settings.root_wgrad_pallas
     )
     achievable_floor_ips = (
         105.0
@@ -370,6 +372,10 @@ def e2e_throughput(steps: int = 20, warmup: int = 3):
 
     h, w = 512, 1024
     npp, npb, npi = 4, 8, 4
+    # TPU-native transfer path on by default: weak labels go to the device
+    # as padded box tensors / (Nb,15) vectors, not dense (Nb,H,W,15) rasters
+    # (~376 MB/batch less h2d). IV_DENSE_LABELS=1 measures the dense path.
+    dense = os.environ.get("IV_DENSE_LABELS", "0") == "1"
     settings = Settings(
         per_pixel_dataset_name="cityscapes",
         Nb_per_pixel=npp, Nb_per_bbox=npb, Nb_per_image=npi, Nb=npp,
@@ -378,6 +384,8 @@ def e2e_throughput(steps: int = 20, warmup: int = 3):
         learning_rate_boundaries=(8, 15, 17),
         learning_rate_values=(0.01, 0.005, 0.0025),
         compute_dtype="bfloat16",
+        rasterize_on_device=not dense,
+        compact_image_labels=not dense,
         **data,
     ).finalize()
     pd = load_problem_def(os.path.join(
@@ -412,7 +420,6 @@ def e2e_throughput(steps: int = 20, warmup: int = 3):
     n_chips = max(jax.local_device_count(), 1)
     batches = device_prefetch(train_input(settings, pd, seed=0), mesh)
 
-    t_host0 = time.perf_counter()
     for i, batch in enumerate(batches):
         batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
         state, metrics = step_fn(state, batch)
@@ -423,6 +430,7 @@ def e2e_throughput(steps: int = 20, warmup: int = 3):
             float(metrics["total"])
             break
     dt = time.perf_counter() - t0
+    batches.close()  # stop the prefetch thread before interpreter teardown
 
     ips = steps * imgs / dt / n_chips
     print(json.dumps({
@@ -436,6 +444,7 @@ def e2e_throughput(steps: int = 20, warmup: int = 3):
             "host_cores": os.cpu_count(),
             "loss": float(metrics["total"]),
             "device": str(jax.devices()[0].device_kind),
+            "weak_label_transfer": "dense" if dense else "compact",
             "note": "host pipeline + device_prefetch + jitted step "
                     "(train_cli path) on real on-disk formats",
         },

@@ -122,6 +122,7 @@ class Settings:
     # execute the 7x7/2 root conv as a 4x4/1 conv on 2x2 space-to-depth
     # input (identical math, same parameter; models/resnet.RootConvS2D)
     root_conv_s2d: bool = False
+    root_wgrad_pallas: bool = False
     # execute every trunk conv as MXU dot_generals (1x1 -> one matmul,
     # kxk -> k*k tap-shifted matmuls; identical math, same parameters —
     # models/layers.dot_conv_same). With no conv ops left between the root
@@ -150,6 +151,11 @@ class Settings:
     # boxes are rasterized at the crop resolution, +-1px at box edges vs
     # rasterize-then-NN-resize)
     rasterize_on_device: bool = False
+    # ship per-image weak labels as (Nb, 15) multinomial vectors and tile on
+    # device instead of host-tiled dense (Nb, H, W, 15) — ~30 MB less
+    # host->device transfer per weak image, exact same labels (the vector is
+    # constant across the image, so resize/crop cannot change it)
+    compact_image_labels: bool = False
 
     # -- inference / evaluation (utils.py:121-178) -------------------------
     ckpt_path: Optional[str] = None

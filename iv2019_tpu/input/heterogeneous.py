@@ -83,7 +83,6 @@ def train_input(
             "proimages_per_bbox": pb["proimages"],
             "proimages_per_image": pi["proimages"],
             "prolabels_per_pixel": pp["prolabels"],
-            "prolabels_per_image": pi["prolabels"],
             "imageids_per_bbox": pb["imageids"],
             "imageids_per_image": pi["imageids"],
             "rawimagespaths": pp.get("rawimagespaths", []),
@@ -96,4 +95,9 @@ def train_input(
             batch["bbox_coords"] = pb["bbox_coords"]
         else:
             batch["prolabels_per_bbox"] = pb["prolabels"]
+        if "image_label_vecs" in pi:
+            # compact per-image labels: (Nb, 15) vectors tiled on device
+            batch["image_label_vecs"] = pi["image_label_vecs"]
+        else:
+            batch["prolabels_per_image"] = pi["prolabels"]
         yield batch

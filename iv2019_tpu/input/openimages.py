@@ -156,12 +156,32 @@ def image_labels_train_input(
     image_dir = settings.openimages_image_dir
     hw = (settings.height_feature_extractor, settings.width_feature_extractor)
     rng = np.random.RandomState(seed)
+    compact = settings.compact_image_labels
 
     def _pre(item) -> dict:
         imageid, mids = item
         image = core.convert_image_dtype(_read_image(image_dir, imageid))
         cids = [OPEN_IMAGES_MID2CID.get(mid, -1) for mid in mids]
         vec = image_label_multinomial_np([c for c in cids if c >= 0])
+        if compact:
+            # the multinomial is constant across the image, so resize/crop
+            # leaves it unchanged — ship the (15,) vector, tile on device
+            # (train/step.py), saving the dense (H, W, 15) h2d transfer
+            h0, w0 = image.shape[:2]
+            if settings.preserve_aspect_ratio:
+                rh, rw = core.aspect_preserving_size((h0, w0), hw, "max")
+            else:
+                rh, rw = hw
+            oy = rng.randint(0, rh - hw[0] + 1) if rh > hw[0] else 0
+            ox = rng.randint(0, rw - hw[1] + 1) if rw > hw[1] else 0
+            proimage = core.resize_bilinear(image, (rh, rw))[
+                oy : oy + hw[0], ox : ox + hw[1]
+            ]
+            return {
+                "proimages": proimage,
+                "image_label_vecs": vec.astype(np.float32),
+                "imageids": imageid,
+            }
         rla = np.broadcast_to(vec, (*image.shape[:2], NUM_WEAK_CLASSES))
         proimage, prolabel = core.resize_images_and_labels(
             image, np.ascontiguousarray(rla), hw, settings.preserve_aspect_ratio, rng

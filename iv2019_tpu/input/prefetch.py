@@ -70,13 +70,21 @@ def _to_device(batch: dict, mesh) -> dict:
 def device_prefetch(
     it: Iterator[dict], mesh, depth: int = 2
 ) -> Iterator[dict]:
-    """Wrap a host batch iterator with background device transfer."""
+    """Wrap a host batch iterator with background device transfer.
+
+    Closing the generator (or breaking out of the loop) stops the producer
+    thread and waits for any in-flight device_put to finish — otherwise a
+    transfer racing interpreter teardown aborts the PJRT client.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def _producer():
         try:
             for batch in it:
+                if stop.is_set():
+                    return
                 q.put(_to_device(batch, mesh))
         except BaseException as e:  # noqa: BLE001 - propagate to consumer
             err.append(e)
@@ -85,10 +93,21 @@ def device_prefetch(
 
     t = threading.Thread(target=_producer, daemon=True, name="input-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # unblock a producer stuck in q.put, then wait until no device_put
+        # can be in flight
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.2)

@@ -86,6 +86,7 @@ class HierarchicalSegmentationModel(nn.Module):
     upsampling_method: str = "bilinear"
     dilation_mode: str = "dilated"  # | "space_to_batch" (identical results)
     root_conv_s2d: bool = False  # space-to-depth root conv (identical math)
+    root_wgrad_pallas: bool = False  # Pallas kernel for the root-conv wgrad
     # run the 3 adaptation branches + logit heads as grouped convs (3x fewer
     # kernels, identical math — BatchNorm is per-channel)
     fuse_adaptation: bool = False
@@ -126,6 +127,7 @@ class HierarchicalSegmentationModel(nn.Module):
             use_running_average=not self.accumulate_norm_statistics,
             dilation_mode=self.dilation_mode,
             root_conv_s2d=self.root_conv_s2d,
+            root_wgrad_pallas=self.root_wgrad_pallas,
             conv_impl=self.conv_impl,
             bn_impl=self.bn_impl,
             dtype=self.dtype,
@@ -302,6 +304,7 @@ def build_model(settings: Settings) -> HierarchicalSegmentationModel:
         upsampling_method=settings.upsampling_method,
         dilation_mode=settings.dilation_mode,
         root_conv_s2d=settings.root_conv_s2d,
+        root_wgrad_pallas=settings.root_wgrad_pallas,
         conv_impl=settings.conv_impl,
         bn_impl=settings.bn_impl,
         fuse_adaptation=settings.fuse_adaptation,

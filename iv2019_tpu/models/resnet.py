@@ -17,6 +17,7 @@ for block4. Final features: (N, H/8, W/8, 2048).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -163,6 +164,62 @@ class RootConvS2D(nn.Module):
         )
 
 
+def _root_conv_raw(x, k, stride):
+    pad = (k.shape[0] - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, k, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _root_conv_pallas_wgrad(x, k, stride):
+    return _root_conv_raw(x, k, stride)
+
+
+def _rcpw_fwd(x, k, stride):
+    return _root_conv_raw(x, k, stride), (x, k)
+
+
+def _rcpw_bwd(stride, res, dy):
+    from iv2019_tpu.ops.pallas_wgrad import root_conv_wgrad
+
+    x, k = res
+    # dx: XLA's input-grad emitter unchanged (it is not an audited gap op);
+    # taking it from the vjp of the raw conv guarantees exact semantics
+    _, vjp_x = jax.vjp(lambda xx: _root_conv_raw(xx, k, stride), x)
+    (dx,) = vjp_x(dy)
+    dw = root_conv_wgrad(x, dy, kernel_size=k.shape[0], stride=stride)
+    return dx.astype(x.dtype), dw.astype(k.dtype)
+
+
+_root_conv_pallas_wgrad.defvjp(_rcpw_fwd, _rcpw_bwd)
+
+
+class RootConvPallasWgrad(nn.Module):
+    """Root 7x7/2 conv whose weight gradient is the Pallas kernel
+    (ops/pallas_wgrad.py) instead of XLA's conv-backward emitter — the
+    audit's worst single op (docs/PERFORMANCE.md: wgrad ~5.5x over its
+    floor). Forward and dx stay on the XLA emitters; the parameter keeps
+    the 'conv/kernel' path, so checkpoints/warm starts are unaffected.
+    """
+
+    features: int = 64
+    kernel_size: int = 7
+    stride: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        k = _RootKernel((self.kernel_size, self.kernel_size, c, self.features),
+                        name="conv")()
+        return _root_conv_pallas_wgrad(
+            x.astype(self.dtype), k.astype(self.dtype), self.stride
+        )
+
+
 class ResNetV1(nn.Module):
     """Fully-convolutional dilated ResNet-v1 (50-layer default).
 
@@ -181,6 +238,7 @@ class ResNetV1(nn.Module):
     use_running_average: bool = True
     dilation_mode: str = "dilated"  # | "space_to_batch"
     root_conv_s2d: bool = False  # space-to-depth root conv (identical math)
+    root_wgrad_pallas: bool = False  # Pallas kernel for the root-conv wgrad
     conv_impl: str = "conv"  # | "dot" (every unit conv as MXU matmuls)
     bn_impl: str = "flax"  # | "fused" (ops/fused_bn custom-VJP backward)
     dtype: Any = jnp.bfloat16
@@ -198,6 +256,11 @@ class ResNetV1(nn.Module):
         # root (slim names: resnet_v1_50/conv1)
         if self.root_conv_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = RootConvS2D(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+        elif (
+            self.root_wgrad_pallas
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        ):
+            x = RootConvPallasWgrad(64, 7, 2, dtype=self.dtype, name="conv1")(x)
         else:
             x = ConvSame(64, 7, 2, dtype=self.dtype, name="conv1")(x)
         x = Norm(

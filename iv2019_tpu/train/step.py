@@ -180,10 +180,21 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
             )(batch["bbox_cids"], batch["bbox_coords"])
         else:
             prolabels_per_bbox = batch["prolabels_per_bbox"]
+        if "image_label_vecs" in batch:
+            # compact per-image labels: tile the (Nb, C) multinomial vectors
+            # to (Nb, H, W, C) on device (XLA fuses the broadcast — the host
+            # never materializes or transfers the dense array)
+            vecs = batch["image_label_vecs"]
+            h, w = images.shape[1], images.shape[2]
+            prolabels_per_image = jnp.broadcast_to(
+                vecs[:, None, None, :], (vecs.shape[0], h, w, vecs.shape[1])
+            )
+        else:
+            prolabels_per_image = batch["prolabels_per_image"]
         labels = {
             "prolabels_per_pixel": pp_labels,
             "prolabels_per_bbox": prolabels_per_bbox,
-            "prolabels_per_image": batch["prolabels_per_image"],
+            "prolabels_per_image": prolabels_per_image,
         }
         n_pp = pp_labels.shape[0]
 

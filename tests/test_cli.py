@@ -139,3 +139,26 @@ class TestDatasetNameResolution:
         s = settings_from_args(args, EVAL)
         s = resolve_dataset_name(s, args.per_pixel_dataset_name)
         assert s.per_pixel_dataset_name == "cityscapes"
+
+
+def test_real_data_runbook_flags_exist():
+    """Every --flag in tools/real_data_runbook.sh must be a real CLI flag,
+    so the runbook cannot rot (VERDICT r2 #10: parity run must be a single
+    command the day the datasets exist)."""
+    import re
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = open(os.path.join(root, "tools", "real_data_runbook.sh")).read()
+    flags = set(re.findall(r"--([A-Za-z_]+)", script))
+
+    from iv2019_tpu.config import build_argparser
+
+    known = set()
+    for mode in ("train", "eval", "predict"):
+        parser = build_argparser(mode)
+        for action in parser._actions:
+            for opt in action.option_strings:
+                known.add(opt.lstrip("-"))
+    missing = flags - known
+    assert not missing, f"runbook references unknown flags: {sorted(missing)}"
