@@ -183,14 +183,21 @@ def _rcpw_fwd(x, k, stride):
 
 
 def _rcpw_bwd(stride, res, dy):
-    from iv2019_tpu.ops.pallas_wgrad import root_conv_wgrad
+    from iv2019_tpu.ops.pallas_wgrad import root_conv_wgrad, wgrad_supported
 
     x, k = res
     # dx: XLA's input-grad emitter unchanged (it is not an audited gap op);
     # taking it from the vjp of the raw conv guarantees exact semantics
     _, vjp_x = jax.vjp(lambda xx: _root_conv_raw(xx, k, stride), x)
     (dx,) = vjp_x(dy)
-    dw = root_conv_wgrad(x, dy, kernel_size=k.shape[0], stride=stride)
+    if x.dtype == jnp.bfloat16 and wgrad_supported(
+        x.shape, dy.shape, k.shape[0], stride
+    ):
+        dw = root_conv_wgrad(x, dy, kernel_size=k.shape[0], stride=stride)
+    else:
+        # f32 params or kernel-unsupported shape: exact XLA wgrad
+        _, vjp_k = jax.vjp(lambda kk: _root_conv_raw(x, kk, stride), k)
+        (dw,) = vjp_k(dy)
     return dx.astype(x.dtype), dw.astype(k.dtype)
 
 

@@ -45,6 +45,13 @@ def capture(outdir: str, steps: int = 5):
         learning_rate_boundaries=(8, 15, 17),
         learning_rate_values=(0.01, 0.005, 0.0025),
         compute_dtype="bfloat16",
+        # same perf-experiment env overrides as bench.py, so A/B variants
+        # can be profiled, not just timed
+        conv_impl=os.environ.get("IV_CONV_IMPL", "conv"),
+        bn_impl=os.environ.get("IV_BN_IMPL", "flax"),
+        dilation_mode=os.environ.get("IV_DILATION_MODE", "dilated"),
+        root_conv_s2d=os.environ.get("IV_ROOT_S2D", "0") == "1",
+        root_wgrad_pallas=os.environ.get("IV_ROOT_WGRAD_PALLAS", "0") == "1",
     ).finalize()
     model = build_model(settings.replace(mode="train"))
     rng = np.random.RandomState(0)

@@ -23,7 +23,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# memory analysis is static — always run on the virtual CPU mesh, never the
+# chip (the axon TPU plugin ignores JAX_PLATFORMS, so force it via config)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 V5E_HBM_GB = 16.0
 
