@@ -60,19 +60,27 @@ namespace {
 
 const PJRT_Api* g_api = nullptr;
 
-void Check(PJRT_Error* err, const char* what) {
-  if (err == nullptr) return;
+std::string ErrorMessage(PJRT_Error* err) {
   PJRT_Error_Message_Args margs;
   std::memset(&margs, 0, sizeof(margs));
   margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
   margs.error = err;
   g_api->PJRT_Error_Message(&margs);
-  std::string msg(margs.message, margs.message_size);
+  return std::string(margs.message, margs.message_size);
+}
+
+void FreeError(PJRT_Error* err) {
   PJRT_Error_Destroy_Args dargs;
   std::memset(&dargs, 0, sizeof(dargs));
   dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
   dargs.error = err;
   g_api->PJRT_Error_Destroy(&dargs);
+}
+
+void Check(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return;
+  std::string msg = ErrorMessage(err);
+  FreeError(err);
   Die(std::string(what) + ": " + msg);
 }
 
@@ -254,8 +262,42 @@ int main(int argc, char** argv) {
   }
   std::string copts = CompileOptionsBytes();
 
+  // Executable cache: deserialize a previously-compiled executable if a
+  // sidecar file exists (restart in seconds instead of minutes — the
+  // flagship module takes 1.5-6 min to compile through the tunnel).
+  // Serializations are platform/version-specific, so every failure mode
+  // (unsupported plugin, stale bytes) soft-falls back to a fresh compile.
+  const std::string cache_path = std::string(module_path) + ".pjrt_exec";
   PJRT_LoadedExecutable* exec = nullptr;
-  {
+  if (g_api->PJRT_Executable_DeserializeAndLoad) {
+    std::ifstream cf(cache_path, std::ios::binary);
+    if (cf) {
+      std::stringstream ss;
+      ss << cf.rdbuf();
+      std::string bytes = ss.str();
+      PJRT_Executable_DeserializeAndLoad_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
+      args.client = client;
+      args.serialized_executable = bytes.data();
+      args.serialized_executable_size = bytes.size();
+      auto t0 = std::chrono::steady_clock::now();
+      PJRT_Error* err = g_api->PJRT_Executable_DeserializeAndLoad(&args);
+      if (err) {
+        std::fprintf(stderr, "executable cache load failed (%s); recompiling\n",
+                     ErrorMessage(err).c_str());
+        FreeError(err);
+      } else {
+        exec = args.loaded_executable;
+        std::fprintf(
+            stderr, "loaded cached executable (%zu bytes) in %.1f s\n",
+            bytes.size(),
+            std::chrono::duration<double>(
+                std::chrono::steady_clock::now() - t0).count());
+      }
+    }
+  }
+  if (!exec) {
     PJRT_Program program;
     std::memset(&program, 0, sizeof(program));
     program.struct_size = PJRT_Program_STRUCT_SIZE;
@@ -279,6 +321,43 @@ int main(int argc, char** argv) {
     std::fprintf(
         stderr, "compiled in %.1f s\n",
         std::chrono::duration<double>(t1 - t0).count());
+
+    // best-effort: write the serialized executable for fast restarts
+    if (g_api->PJRT_Executable_Serialize) {
+      PJRT_LoadedExecutable_GetExecutable_Args gargs;
+      std::memset(&gargs, 0, sizeof(gargs));
+      gargs.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+      gargs.loaded_executable = exec;
+      PJRT_Error* gerr = g_api->PJRT_LoadedExecutable_GetExecutable(&gargs);
+      if (gerr) {
+        FreeError(gerr);
+      } else {
+        PJRT_Executable_Serialize_Args sargs;
+        std::memset(&sargs, 0, sizeof(sargs));
+        sargs.struct_size = PJRT_Executable_Serialize_Args_STRUCT_SIZE;
+        sargs.executable = gargs.executable;
+        PJRT_Error* serr = g_api->PJRT_Executable_Serialize(&sargs);
+        if (serr) {
+          std::fprintf(stderr, "executable serialize unsupported (%s)\n",
+                       ErrorMessage(serr).c_str());
+          FreeError(serr);
+        } else {
+          std::ofstream out(cache_path + ".tmp",
+                            std::ios::binary | std::ios::trunc);
+          out.write(sargs.serialized_bytes,
+                    static_cast<std::streamsize>(sargs.serialized_bytes_size));
+          out.close();
+          if (out && std::rename((cache_path + ".tmp").c_str(),
+                                 cache_path.c_str()) == 0) {
+            std::fprintf(stderr, "executable cache written: %s (%zu bytes)\n",
+                         cache_path.c_str(), sargs.serialized_bytes_size);
+          }
+          if (sargs.serialized_executable_deleter) {
+            sargs.serialized_executable_deleter(sargs.serialized_executable);
+          }
+        }
+      }
+    }
   }
 
   size_t num_outputs = 0;
@@ -465,7 +544,13 @@ int main(int argc, char** argv) {
       slot = ready_slot;
     }
 
+    // Per-request RPC budget matters through the tunneled plugin (every
+    // PJRT call is a proxy round trip): enqueue h2d + execute + d2h
+    // back-to-back WITHOUT intermediate awaits — the only blocking wait
+    // is on the final d2h event (PJRT orders the dependencies on-device).
+    auto t0 = std::chrono::steady_clock::now();
     PJRT_Buffer* req_buf = nullptr;
+    PJRT_Event* h2d_done = nullptr;
     {
       PJRT_Client_BufferFromHostBuffer_Args args;
       std::memset(&args, 0, sizeof(args));
@@ -479,15 +564,8 @@ int main(int argc, char** argv) {
           PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
       args.device = device;
       Check(g_api->PJRT_Client_BufferFromHostBuffer(&args), "h2d");
-      AwaitEvent(args.done_with_host_buffer, "h2d done");
+      h2d_done = args.done_with_host_buffer;
       req_buf = args.buffer;
-    }
-    {
-      // frame copied to device: hand the slot back to the reader so the
-      // next stdin read overlaps this request's execute + d2h
-      std::unique_lock<std::mutex> lk(mu);
-      ready_slot = -1;
-      cv_free.notify_one();
     }
 
     PJRT_ExecuteOptions eopts;
@@ -500,7 +578,6 @@ int main(int argc, char** argv) {
     PJRT_Buffer* const* const arg_lists[] = {arg_list};
     std::vector<PJRT_Buffer*> out_list(num_outputs, nullptr);
     PJRT_Buffer** out_lists[] = {out_list.data()};
-    PJRT_Event* dev_events[] = {nullptr};
 
     PJRT_LoadedExecutable_Execute_Args eargs;
     std::memset(&eargs, 0, sizeof(eargs));
@@ -511,18 +588,29 @@ int main(int argc, char** argv) {
     eargs.num_devices = 1;
     eargs.num_args = 1;
     eargs.output_lists = out_lists;
-    eargs.device_complete_events = dev_events;
+    eargs.device_complete_events = nullptr;  // d2h below is the sync point
 
-    auto t0 = std::chrono::steady_clock::now();
     Check(g_api->PJRT_LoadedExecutable_Execute(&eargs), "execute");
-    AwaitEvent(dev_events[0], "device completion");
+    // the h2d copy out of the frame slot is complete (or completes
+    // independently of execute): settle its event and hand the slot back
+    // so the reader's next stdin read overlaps this execute + d2h
+    AwaitEvent(h2d_done, "h2d done");
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      ready_slot = -1;
+      cv_free.notify_one();
+    }
     if (num_outputs > 0) {
       PJRT_Buffer_ToHostBuffer_Args hargs;
       std::memset(&hargs, 0, sizeof(hargs));
       hargs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
       hargs.src = out_list[0];
-      Check(g_api->PJRT_Buffer_ToHostBuffer(&hargs), "d2h size query");
-      host_out.resize(hargs.dst_size);
+      if (served == 0) {  // output size is fixed: query once, reuse
+        Check(g_api->PJRT_Buffer_ToHostBuffer(&hargs), "d2h size query");
+        host_out.resize(hargs.dst_size);
+      } else {
+        hargs.dst_size = host_out.size();
+      }
       hargs.dst = host_out.data();
       Check(g_api->PJRT_Buffer_ToHostBuffer(&hargs), "d2h");
       AwaitEvent(hargs.event, "d2h done");

@@ -40,6 +40,10 @@ def main():
                    help="with --stream: measure pipelined req/s (infer_many) "
                         "in addition to sequential p50")
     p.add_argument("--out_dir", default=None)
+    p.add_argument("--module", default=None,
+                   help="path to an existing forward.stablehlo.mlir from a "
+                        "previous run (skips model build + export; the "
+                        "height/width/batch/u8 flags must match the export)")
     args = p.parse_args()
 
     import jax
@@ -57,6 +61,12 @@ def main():
     from iv2019_tpu.config import Settings
 
     h, w = args.height, args.width
+    if args.module:
+        nb = args.batch
+        shape = (nb, h, w, 3)
+        paths = {"stablehlo": args.module}
+        print(f"reusing export {args.module}")
+        return _drive(args, paths, shape)
     if args.tiny:
         model = HierarchicalSegmentationModel(
             taxonomy=get_taxonomy("cityscapes"),
@@ -78,7 +88,13 @@ def main():
     size_mb = os.path.getsize(paths["stablehlo"]) / 1e6
     print(f"exported {paths['stablehlo']} ({size_mb:.1f} MB, batch {nb}, "
           f"{'u8' if args.u8 else 'f32'} wire)")
+    return _drive(args, paths, shape)
 
+
+def _drive(args, paths, shape):
+    from iv2019_tpu import serving
+
+    nb = shape[0]
     if args.stream:
         import time
 
