@@ -113,6 +113,24 @@ class Settings:
     # image-size ceiling (input_vistas.py:7-10): per-chip activation memory
     # falls by this factor. Requires H divisible by 8*spatial_partitions.
     spatial_partitions: int = 1
+    # rematerialize each backbone bottleneck unit in the backward pass
+    # (jax.checkpoint): the unit's internal activations are recomputed
+    # instead of stored — identical numerics, ~1/3 more backbone forward
+    # FLOPs, large activation-memory savings at megapixel sizes. Composes
+    # with spatial_partitions and grad_accum_steps (the three memory
+    # levers; measured in tools/spatial_memory_table.py).
+    remat: bool = False
+    # split every train step into N sequential microbatches (lax.scan over
+    # equal slices of all three supervision sub-batches), averaging the
+    # gradients — one optimizer/EMA update per step at ~1/N the activation
+    # memory. BatchNorm normalizes with per-microbatch statistics (the
+    # same semantics as running with Nb_per_*/N), running stats advance N
+    # momentum updates per step. The decision-gated weak losses normalize
+    # by their own microbatch's gated-pixel count (the standard
+    # accumulation semantics for dynamically-weighted losses) — measured
+    # ~1e-4 relative vs the monolithic step, exact when the gate counts
+    # are microbatch-uniform. Requires N | Nb_per_pixel/bbox/image.
+    grad_accum_steps: int = 1
     # single fused flat-vector kernel for SGDM + weight decay + EMA instead of
     # per-parameter update fusions (identical math; see train/fused_update.py)
     fused_optimizer: bool = True
@@ -237,6 +255,17 @@ class Settings:
             raise NotImplementedError(
                 "Only resnet_v1_50 feature extractor is implemented."
             )
+        if self.grad_accum_steps < 1:
+            raise ValueError("grad_accum_steps must be >= 1.")
+        if self.grad_accum_steps > 1:
+            for name in ("Nb_per_pixel", "Nb_per_bbox", "Nb_per_image"):
+                nb = getattr(self, name)
+                if nb % self.grad_accum_steps:
+                    raise ValueError(
+                        f"grad_accum_steps={self.grad_accum_steps} must divide "
+                        f"{name}={nb} (equal microbatch slices per supervision "
+                        "type)."
+                    )
 
     def finalize(self) -> "Settings":
         """Fill derived fields. Returns a new Settings (self is untouched).
@@ -332,6 +361,12 @@ def _add_system_arguments(p: argparse.ArgumentParser) -> None:
                    help="multi-slice (DCN) scaling: ('replica','data') mesh")
     p.add_argument("--spatial_partitions", type=int, default=1,
                    help="shard image height across chips (megapixel inputs)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone units in backward "
+                        "(identical numerics, less activation memory)")
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="sequential microbatches per optimizer step "
+                        "(averaged gradients, ~1/N activation memory)")
     p.add_argument("--synthetic_data", action="store_true")
 
 

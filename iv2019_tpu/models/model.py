@@ -93,6 +93,7 @@ class HierarchicalSegmentationModel(nn.Module):
     norm_type: str = "batch"
     batch_norm_decay: float = 0.9
     accumulate_norm_statistics: bool = False  # True during training
+    remat: bool = False  # jax.checkpoint backbone units (models/resnet.py)
     conv_impl: str = "conv"  # | "dot" (models/layers.dot_conv_same)
     bn_impl: str = "flax"  # | "fused" (ops/fused_bn custom-VJP backward)
     dtype: Any = jnp.bfloat16
@@ -130,6 +131,7 @@ class HierarchicalSegmentationModel(nn.Module):
             root_wgrad_pallas=self.root_wgrad_pallas,
             conv_impl=self.conv_impl,
             bn_impl=self.bn_impl,
+            remat=self.remat,
             dtype=self.dtype,
             name="feature_extractor/base",
         )(x)
@@ -305,6 +307,7 @@ def build_model(settings: Settings) -> HierarchicalSegmentationModel:
         dilation_mode=settings.dilation_mode,
         root_conv_s2d=settings.root_conv_s2d,
         root_wgrad_pallas=settings.root_wgrad_pallas,
+        remat=settings.remat,
         conv_impl=settings.conv_impl,
         bn_impl=settings.bn_impl,
         fuse_adaptation=settings.fuse_adaptation,

@@ -248,6 +248,12 @@ class ResNetV1(nn.Module):
     root_wgrad_pallas: bool = False  # Pallas kernel for the root-conv wgrad
     conv_impl: str = "conv"  # | "dot" (every unit conv as MXU matmuls)
     bn_impl: str = "flax"  # | "fused" (ops/fused_bn custom-VJP backward)
+    # jax.checkpoint every bottleneck unit: backward recomputes the unit's
+    # internal activations (two convs + norms) from its input instead of
+    # storing them — identical numerics and batch_stats, ~1/3 extra
+    # backbone forward FLOPs, ~2-3x less activation memory (the dominant
+    # term at megapixel sizes; rows in tools/spatial_memory_table.py)
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -291,6 +297,15 @@ class ResNetV1(nn.Module):
         )
         applied = 1  # current phase-decomposition factor
         factors = []  # s2b factor stack; inverted in reverse order at the end
+        Unit = (
+            # prevent_cse=False: the barriers CSE-protection inserts block
+            # XLA buffer reuse and can *increase* peak memory; under jit the
+            # compiler does not CSE away the recompute (measured in
+            # tools/spatial_memory_table.py rows)
+            nn.remat(BottleneckV1, prevent_cse=False)
+            if self.remat
+            else BottleneckV1
+        )
         for bi, units in enumerate(plan):
             for ui, (depth, depth_bottleneck, stride, rate) in enumerate(units):
                 conv_rate = rate
@@ -302,7 +317,7 @@ class ResNetV1(nn.Module):
                         factors.append(f)
                         applied = rate
                     conv_rate = 1
-                x = BottleneckV1(
+                x = Unit(
                     depth=depth,
                     depth_bottleneck=depth_bottleneck,
                     stride=stride,

@@ -68,7 +68,14 @@ def batch_mean_iou(labels, decisions, num_classes: int):
     inter / (union + eps) — classes absent from both labels and decisions
     contribute 0 (no nan-masking here, unlike the eval-time report).
     """
-    cm = confusion_matrix(labels, decisions, num_classes).astype(jnp.float32)
+    return mean_iou_from_cm(confusion_matrix(labels, decisions, num_classes))
+
+
+def mean_iou_from_cm(cm):
+    """The batch_mean_iou formula on a (summed) confusion matrix — the
+    matrix is additive, so accumulating per-microbatch matrices and applying
+    this gives exactly the full-batch metric (train/step.py grad accum)."""
+    cm = cm.astype(jnp.float32)
     inter = jnp.diagonal(cm)
     union = cm.sum(axis=0) + cm.sum(axis=1) - inter
     return jnp.mean(inter / (union + _EPSILON))

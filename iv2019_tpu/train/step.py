@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from iv2019_tpu.config import Settings
 from iv2019_tpu.losses.hierarchical import define_losses, l2_regularization
 from iv2019_tpu.models.model import build_model
-from iv2019_tpu.ops.confusion import batch_mean_iou, confusion_matrix
+from iv2019_tpu.ops.confusion import (
+    batch_mean_iou,
+    confusion_matrix,
+    mean_iou_from_cm,
+)
 from iv2019_tpu.ops.resize import resize_bilinear, resize_nearest
 from iv2019_tpu.ops.segment_ops import gather_cids, remap_probabilities
 from iv2019_tpu.problem.problem_def import replace_voids
@@ -150,14 +154,36 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
     scaling_poi = tuple(settings.scaling_poi)
     aug_seed = settings.random_seed
 
-    def train_step(state: TrainState, batch: Mapping[str, Any]):
+    accum = settings.grad_accum_steps
+    if accum > 1 and mesh is not None:
+        # each microbatch must still shard evenly over the batch axes —
+        # smaller slices would be partially replicated, inflating memory
+        # instead of saving it
+        import math
+
+        from iv2019_tpu.parallel.mesh import batch_axes
+
+        shards = math.prod(mesh.shape[a] for a in batch_axes(mesh))
+        for name in ("Nb_per_pixel", "Nb_per_bbox", "Nb_per_image"):
+            nb = getattr(settings, name)
+            if nb and (nb // accum) % shards:
+                raise ValueError(
+                    f"grad_accum_steps={accum}: microbatch {name}={nb}//"
+                    f"{accum} must divide by the {shards} batch shards of "
+                    "the mesh."
+                )
+
+    def _assemble(batch: Mapping[str, Any], key_fold):
+        """Images/labels tensors from one (micro)batch dict: augmentation,
+        device-side bbox rasterization, compact image-label tiling, and the
+        [pp|pb|pi] concat (the reference's per-tower layout)."""
         pp_images = batch["proimages_per_pixel"]
         pp_labels = batch["prolabels_per_pixel"]
         if augmentations:
-            # on-device, batched, deterministic per (seed, step)
+            # on-device, batched, deterministic per (seed, step[, microbatch])
             from iv2019_tpu.ops.augment import apply_augmentations
 
-            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), state.step)
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), key_fold)
             pp_images, pp_labels = apply_augmentations(
                 key, pp_images, pp_labels, augmentations, unlabeled_cid,
                 scaling_poi,
@@ -196,11 +222,12 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
             "prolabels_per_bbox": prolabels_per_bbox,
             "prolabels_per_image": prolabels_per_image,
         }
-        n_pp = pp_labels.shape[0]
+        return images, labels
 
+    def _loss_and_grad(params, batch_stats, images, labels):
         def loss_fn(params):
             preds, new_batch_stats = forward(
-                loss_model, params, state.batch_stats, images, True
+                loss_model, params, batch_stats, images, True
             )
             if use_fused_loss:
                 from iv2019_tpu.ops.fused_loss import define_losses_fused
@@ -220,9 +247,151 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
                 total = losses["total"] + reg
             return total, (losses, reg, new_batch_stats, decisions)
 
-        (total, (losses, reg, new_batch_stats, decisions)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def _weight_masks(labels, losses, decisions, n_pp, n_total):
+        # loss weight masks for TB image summaries (reference
+        # define_losses_hierarchical.py:140,167,187): one per-pixel example
+        # for L1, one weak example for the gated L2 heads (where the paper's
+        # decision gating is visible).
+        weak_ix = n_pp if n_total > n_pp else 0
+        if use_fused_loss:
+            return _summary_weight_masks(
+                labels, losses["l1_decisions"], tax, weak_ix
+            )
+        return {
+            "l1_weights": losses["l1_weights"][0],
+            "l2_vehicle_weights": losses["l2_vehicle_weights"][weak_ix],
+            "l2_human_weights": losses["l2_human_weights"][weak_ix],
+        }
+
+    def train_step(state: TrainState, batch: Mapping[str, Any]):
+        if accum == 1:
+            images, labels = _assemble(batch, state.step)
+            n_pp = labels["prolabels_per_pixel"].shape[0]
+            (total, (losses, reg, new_batch_stats, decisions)), grads = (
+                _loss_and_grad(state.params, state.batch_stats, images, labels)
+            )
+            miou = batch_mean_iou(
+                labels["prolabels_per_pixel"], decisions[:n_pp], num_classes
+            )
+            weight_masks = _weight_masks(
+                labels, losses, decisions, n_pp, images.shape[0]
+            )
+        else:
+            # sequential microbatches (lax.scan): 1/accum activation memory,
+            # gradients averaged, ONE optimizer/EMA update. The weighted
+            # losses normalize per microbatch (sum(w*l)/count(w) over the
+            # slice), so the average equals the monolithic step exactly when
+            # gate counts are slice-uniform and to ~1e-4 relative otherwise
+            # (tests/test_grad_accum.py pins both).
+            # BatchNorm normalizes per microbatch and its running stats
+            # advance `accum` momentum updates per step (the semantics of
+            # training with Nb/accum); the confusion matrix is additive, so
+            # the summed matrix gives exactly the full-batch train mIoU.
+            # restack each batch tensor to [accum, N/accum, ...] and scan
+            # over the (replicated) microbatch axis. Under SPMD the restack
+            # is one reshard of the batch (scan's per-iteration slice then
+            # runs on the replicated dim — no all-gather); slicing the
+            # sharded batch dim directly instead would all-gather the full
+            # global batch onto every device each iteration.
+            batch_dict = dict(batch)
+
+            def split(a):
+                return a.reshape((accum, a.shape[0] // accum) + a.shape[1:])
+
+            mbs = jax.tree_util.tree_map(split, batch_dict)
+            if mesh is not None and "spatial" not in mesh.axis_names:
+                # pin the restack to microbatch-major sharding (dim 1 = the
+                # batch shards) so the scan body's per-iteration operand and
+                # everything downstream stays batch-sharded — without the
+                # constraint XLA's propagation pays the gains back
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from iv2019_tpu.parallel.mesh import batch_axes
+
+                stacked = NamedSharding(mesh, P(None, batch_axes(mesh)))
+                sliced = NamedSharding(mesh, P(batch_axes(mesh)))
+                mbs = jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, stacked)
+                    if a.shape[1] else a,
+                    mbs,
+                )
+            else:
+                sliced = None
+
+            def body(carry, xs):
+                i, mb = xs
+                if sliced is not None:
+                    mb = jax.tree_util.tree_map(
+                        lambda a: jax.lax.with_sharding_constraint(a, sliced)
+                        if a.shape[0] else a,
+                        mb,
+                    )
+                batch_stats, gsum, acc = carry
+                images, labels = _assemble(mb, state.step * accum + i)
+                n_pp = labels["prolabels_per_pixel"].shape[0]
+                (total, (losses, reg, new_bs, decisions)), grads = (
+                    _loss_and_grad(state.params, batch_stats, images, labels)
+                )
+                cm = confusion_matrix(
+                    labels["prolabels_per_pixel"], decisions[:n_pp], num_classes
+                )
+                masks = _weight_masks(
+                    labels, losses, decisions, n_pp, images.shape[0]
+                )
+                acc = {
+                    "total": acc["total"] + total,
+                    "l1": acc["l1"] + losses["l1_segmentation"],
+                    "veh": acc["veh"] + losses["l2_vehicle_segmentation"],
+                    "hum": acc["hum"] + losses["l2_human_segmentation"],
+                    # params-only: identical every microbatch (0.0 when the
+                    # fused optimizer owns the weight-decay gradient)
+                    "reg": jnp.asarray(reg, jnp.float32),
+                    "cm": acc["cm"] + cm,
+                    # summaries show the same examples as the accum=1 step
+                    # (the first microbatch holds pp[0] and the first weak)
+                    "masks": jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(i == 0, new, old),
+                        masks, acc["masks"],
+                    ),
+                }
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (new_bs, gsum, acc), None
+
+            zero_masks = {
+                "l1_weights": jnp.zeros(
+                    batch_dict["prolabels_per_pixel"].shape[1:3], jnp.float32
+                ),
+            }
+            zero_masks["l2_vehicle_weights"] = zero_masks["l1_weights"]
+            zero_masks["l2_human_weights"] = zero_masks["l1_weights"]
+            init = (
+                state.batch_stats,
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                {
+                    "total": jnp.zeros((), jnp.float32),
+                    "l1": jnp.zeros((), jnp.float32),
+                    "veh": jnp.zeros((), jnp.float32),
+                    "hum": jnp.zeros((), jnp.float32),
+                    "reg": jnp.zeros((), jnp.float32),
+                    "cm": jnp.zeros((num_classes, num_classes), jnp.int32),
+                    "masks": zero_masks,
+                },
+            )
+            (new_batch_stats, gsum, acc), _ = jax.lax.scan(
+                body, init, (jnp.arange(accum), mbs)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            total = acc["total"] / accum
+            losses = {
+                "l1_segmentation": acc["l1"] / accum,
+                "l2_vehicle_segmentation": acc["veh"] / accum,
+                "l2_human_segmentation": acc["hum"] / accum,
+            }
+            reg = acc["reg"]
+            miou = mean_iou_from_cm(acc["cm"])
+            weight_masks = acc["masks"]
 
         if fused:
             new_params, new_opt_state, reg = fused_opt.update(
@@ -240,34 +409,17 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
                 grads, tx, ema_decay
             )
 
-        # online batch mIoU on the per-pixel slice (reference define_metrics)
-        miou = batch_mean_iou(
-            labels["prolabels_per_pixel"], decisions[:n_pp], num_classes
-        )
         metrics = {
             "total": total,
             "l1_segmentation": losses["l1_segmentation"],
             "l2_vehicle_segmentation": losses["l2_vehicle_segmentation"],
             "l2_human_segmentation": losses["l2_human_segmentation"],
             "regularization": reg,
+            # online batch mIoU on the per-pixel slice (reference
+            # define_metrics)
             "miou": miou,
+            "weight_masks": weight_masks,
         }
-        # loss weight masks for TB image summaries (reference
-        # define_losses_hierarchical.py:140,167,187): one per-pixel example
-        # for L1, one weak example for the gated L2 heads (where the paper's
-        # decision gating is visible).
-        n_total = images.shape[0]
-        weak_ix = n_pp if n_total > n_pp else 0
-        if use_fused_loss:
-            metrics["weight_masks"] = _summary_weight_masks(
-                labels, losses["l1_decisions"], tax, weak_ix
-            )
-        else:
-            metrics["weight_masks"] = {
-                "l1_weights": losses["l1_weights"][0],
-                "l2_vehicle_weights": losses["l2_vehicle_weights"][weak_ix],
-                "l2_human_weights": losses["l2_human_weights"][weak_ix],
-            }
         return new_state, metrics
 
     return tuned_jit(train_step, donate_argnums=(0,))

@@ -63,6 +63,9 @@ def _apply_sub_batch_overrides(settings, args):
 
 
 def main(argv):
+    from iv2019_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     args = build_argparser(TRAIN).parse_args(argv)
     settings = settings_from_args(args, TRAIN)
     settings = _apply_sub_batch_overrides(_add_extra_args(settings), args)

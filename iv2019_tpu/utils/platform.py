@@ -1,0 +1,35 @@
+"""Honor JAX platform env vars through jax.config (axon-plugin workaround).
+
+Some PJRT plugin environments (the tunneled axon TPU plugin here) ignore
+``JAX_PLATFORMS``/``JAX_PLATFORM_NAME`` and still run plugin discovery at
+backend init — when the plugin's transport is down, EVERY fresh JAX
+process blocks there, even one that asked for CPU. Setting the platform
+list through ``jax.config`` before the first backend use skips foreign
+plugin initialization entirely, so a CPU-forced CLI run (tests, dry runs,
+host-only tooling) never depends on TPU reachability.
+
+Called at the top of every CLI ``main()`` (train/evaluate/predict) and by
+``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["honor_platform_env"]
+
+
+def honor_platform_env() -> None:
+    """Apply JAX_PLATFORMS / JAX_PLATFORM_NAME via jax.config (no-op when
+    unset or when the backend is already initialized)."""
+    plat = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        # backend already initialized or unknown platform string: keep the
+        # default behavior rather than failing the CLI
+        pass

@@ -44,6 +44,7 @@ def tiny_model(settings: Settings, train: bool = True) -> HierarchicalSegmentati
         norm_type=settings.norm_layer,
         batch_norm_decay=settings.batch_norm_decay,
         accumulate_norm_statistics=train,
+        remat=settings.remat,
         dtype=jnp.float32,
     )
 

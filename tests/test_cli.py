@@ -41,6 +41,18 @@ class TestTrainCli:
         assert s.Ntrain == 18000
         assert (s.height_feature_extractor, s.width_feature_extractor) == (621, 855)
 
+    def test_memory_lever_flags(self):
+        args = build_argparser(TRAIN).parse_args(
+            ["/tmp/log", "cityscapes", "--remat", "--grad_accum_steps", "2"]
+        )
+        s = settings_from_args(args, TRAIN)
+        assert s.remat is True
+        assert s.grad_accum_steps == 2
+        # defaults: both levers off
+        args = build_argparser(TRAIN).parse_args(["/tmp/log", "cityscapes"])
+        s = settings_from_args(args, TRAIN)
+        assert s.remat is False and s.grad_accum_steps == 1
+
     def test_sub_batch_overrides(self):
         from iv2019_tpu.train_cli import _add_extra_args, _apply_sub_batch_overrides
 

@@ -37,7 +37,8 @@ jax.config.update("jax_platforms", "cpu")
 V5E_HBM_GB = 16.0
 
 
-def analyze(h: int, w: int, spatial: int, nb: int = 2):
+def analyze(h: int, w: int, spatial: int, nb: int = 2, remat: bool = False,
+            accum: int = 1, ndev: int = 8):
     """Per-device memory (GB) for one train-step config on the 8-dev mesh."""
     import jax
     import jax.numpy as jnp
@@ -60,9 +61,11 @@ def analyze(h: int, w: int, spatial: int, nb: int = 2):
         learning_rate_values=(0.01, 0.005, 0.0025),
         compute_dtype="bfloat16",
         spatial_partitions=spatial,
-        num_devices=8,
+        remat=remat,
+        grad_accum_steps=accum,
+        num_devices=ndev,
     ).finalize()
-    mesh = create_mesh(8, spatial_partitions=spatial)
+    mesh = create_mesh(ndev, spatial_partitions=spatial)
     model = build_model(settings.replace(mode="train"))
     tx, _ = make_optimizer(settings)
 
@@ -109,6 +112,19 @@ def main():
     p.add_argument("--nb", type=int, default=None,
                    help="global per-type batch (default: 8//factor, one "
                         "image per data shard)")
+    p.add_argument("--sizes", type=str, default=None,
+                   help="comma list of HxW (e.g. '920x1268,1240x1712') — "
+                       "select a subset so big rows can run in separate "
+                       "bounded invocations")
+    p.add_argument("--factors", type=str, default=None,
+                   help="comma list of spatial factors (e.g. '2,4,8')")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone units (--remat flag rows)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="grad_accum_steps for the rows (sequential "
+                        "microbatches; nb must divide by it)")
+    p.add_argument("--ndev", type=int, default=8,
+                   help="mesh size (1 = the single-chip lever rows)")
     args = p.parse_args()
 
     if args.quick:
@@ -118,6 +134,10 @@ def main():
         # vistas-like ladder up to and beyond the reference's 1240x1710 cap
         sizes = [(512, 1024), (832, 1140), (920, 1268), (1240, 1712), (1536, 2112)]
         factors = [1, 2, 4, 8]
+    if args.sizes:
+        sizes = [tuple(int(d) for d in s.split("x")) for s in args.sizes.split(",")]
+    if args.factors:
+        factors = [int(f) for f in args.factors.split(",")]
 
     rows = []
     for h, w in sizes:
@@ -129,16 +149,22 @@ def main():
                 h_adj = h
             # constant per-data-shard load: one image per data shard, with
             # each image split over f chips (the table's comparison point)
-            nb = max(8 // f, 1) if args.nb is None else args.nb
+            nb = max(args.ndev // f, 1) if args.nb is None else args.nb
+            if nb % args.accum:
+                nb = args.accum * max(nb // args.accum, 1)
             try:
-                m = analyze(h_adj, w, f, nb=nb)
-                rows.append({"h": h_adj, "w": w, "spatial": f, **m})
+                m = analyze(h_adj, w, f, nb=nb, remat=args.remat,
+                            accum=args.accum, ndev=args.ndev)
+                rows.append({"h": h_adj, "w": w, "spatial": f,
+                             "remat": args.remat, "accum": args.accum,
+                             "ndev": args.ndev, "nb": nb, **m})
                 fit = "fits" if m["total_gb"] <= V5E_HBM_GB else "OOM"
                 print(f"| {h_adj}x{w} | x{f} | {m['temp_gb']:.2f} | "
                       f"{m['args_gb']:.2f} | {m['total_gb']:.2f} | {fit} |",
                       flush=True)
             except Exception as e:
                 rows.append({"h": h_adj, "w": w, "spatial": f,
+                             "remat": args.remat, "accum": args.accum,
                              "error": str(e)[:200]})
                 print(f"| {h_adj}x{w} | x{f} | - | - | - | error: {str(e)[:80]} |",
                       flush=True)
