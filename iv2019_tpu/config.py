@@ -131,6 +131,22 @@ class Settings:
     # ~1e-4 relative vs the monolithic step, exact when the gate counts
     # are microbatch-uniform. Requires N | Nb_per_pixel/bbox/image.
     grad_accum_steps: int = 1
+    # multi-host (multi-process) SPMD: every host runs the same program over
+    # its local chips and JAX stitches them into one global mesh
+    # (parallel/multihost.py). num_processes=1 (default) is single-process;
+    # 0 means auto-detect (TPU pod slices — JAX reads the TPU metadata);
+    # >1 requires coordinator_address ("host:port") and a distinct
+    # process_id per process. Nb_per_* stay GLOBAL batch sizes — each
+    # process's input pipeline produces Nb/num_processes examples from a
+    # disjoint stride of the records.
+    coordinator_address: str = ""
+    num_processes: int = 1
+    process_id: int = 0
+    # overlap checkpoint writes with training (orbax background thread);
+    # reads (resume, eval sweeps) and train-exit always await in-flight
+    # writes, so semantics are identical — only the step loop stops
+    # blocking on disk I/O (utils/checkpoint.py)
+    async_checkpoints: bool = True
     # single fused flat-vector kernel for SGDM + weight decay + EMA instead of
     # per-parameter update fusions (identical math; see train/fused_update.py)
     fused_optimizer: bool = True
@@ -251,9 +267,15 @@ class Settings:
             raise ValueError(
                 "Both or neither of fov_expansion_kernel_{rate,size} must be set."
             )
-        if self.name_feature_extractor != "resnet_v1_50":
+        if self.name_feature_extractor not in (
+            "resnet_v1_50", "resnet_v1_101", "resnet_v1_152"
+        ):
+            # the reference guards to resnet_v1_50 only
+            # (system_factory.py:426-429); the deeper slim variants are a
+            # pure capacity lever here (models/resnet.py block tables)
             raise NotImplementedError(
-                "Only resnet_v1_50 feature extractor is implemented."
+                "Only resnet_v1_{50,101,152} feature extractors are "
+                "implemented."
             )
         if self.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1.")
@@ -265,6 +287,25 @@ class Settings:
                         f"grad_accum_steps={self.grad_accum_steps} must divide "
                         f"{name}={nb} (equal microbatch slices per supervision "
                         "type)."
+                    )
+        if self.num_processes < 0:
+            raise ValueError("num_processes must be >= 0 (0 = TPU-pod auto).")
+        if self.num_processes > 1:
+            if not self.coordinator_address:
+                raise ValueError(
+                    "num_processes > 1 requires --coordinator_address host:port."
+                )
+            if not 0 <= self.process_id < self.num_processes:
+                raise ValueError(
+                    f"process_id {self.process_id} outside "
+                    f"[0, {self.num_processes})."
+                )
+            for name in ("Nb_per_pixel", "Nb_per_bbox", "Nb_per_image"):
+                nb = getattr(self, name)
+                if nb % self.num_processes:
+                    raise ValueError(
+                        f"{name}={nb} must divide by num_processes="
+                        f"{self.num_processes} (global batch, split per host)."
                     )
 
     def finalize(self) -> "Settings":
@@ -367,6 +408,15 @@ def _add_system_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="sequential microbatches per optimizer step "
                         "(averaged gradients, ~1/N activation memory)")
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="multi-host: JAX distributed coordinator host:port")
+    p.add_argument("--num_processes", type=int, default=1,
+                   help="multi-host process count; 0 = auto (TPU pod)")
+    p.add_argument("--process_id", type=int, default=0,
+                   help="this process's id in [0, num_processes)")
+    p.add_argument("--async_checkpoints", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="overlap checkpoint writes with training steps")
     p.add_argument("--synthetic_data", action="store_true")
 
 
@@ -374,7 +424,7 @@ def _add_model_arguments(p: argparse.ArgumentParser) -> None:
     """reference resnet50_extended_model_hierarchical.py:228-269"""
     p.add_argument("--stride_feature_extractor", type=int, default=8)
     p.add_argument("--name_feature_extractor", type=str, default="resnet_v1_50",
-                   choices=["resnet_v1_50", "resnet_v1_101"])
+                   choices=["resnet_v1_50", "resnet_v1_101", "resnet_v1_152"])
     p.add_argument("--feature_dims_decreased", type=int, default=256)
     p.add_argument("--fov_expansion_kernel_size", type=int, default=0)
     p.add_argument("--fov_expansion_kernel_rate", type=int, default=0)

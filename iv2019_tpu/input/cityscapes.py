@@ -77,7 +77,12 @@ def train_input(
             "rawlabelspaths": la_path,
         }
 
-    records = core.shuffle_repeat(lambda: read_tfrecords(path), seed=seed)
+    # multi-host: each process keeps a disjoint stride of the record stream
+    from iv2019_tpu.parallel.multihost import shard_records
+
+    records = core.shuffle_repeat(
+        lambda: shard_records(read_tfrecords(path)), seed=seed
+    )
     mapped = core.parallel_map(_prebatch, records)
     for batch in core.batched(mapped, settings.Nb):
         batch["proimages"] = core.from_0_1_to_m1_1(batch["proimages"])

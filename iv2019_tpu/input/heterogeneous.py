@@ -52,7 +52,24 @@ def train_input(
 
     Sub-batch sizes follow Nb_per_pixel / Nb_per_bbox / Nb_per_image with the
     per-type aspect policies of the reference (train.py:62-68).
+
+    Multi-host: Nb_per_* are GLOBAL batch sizes; this process's pipelines
+    produce ``Nb_x / process_count`` examples each from a disjoint record
+    stride (parallel/multihost.py), and the prefetcher assembles the global
+    sharded arrays.
     """
+    from iv2019_tpu.parallel import multihost
+
+    pc = multihost.process_count()
+    if pc > 1:
+        settings = settings.replace(
+            Nb_per_pixel=multihost.local_share(settings.Nb_per_pixel),
+            Nb_per_bbox=multihost.local_share(settings.Nb_per_bbox),
+            Nb_per_image=multihost.local_share(settings.Nb_per_image),
+        )
+        # decorrelate shuffle order / random crops across hosts
+        if seed is not None:
+            seed = seed + 7919 * multihost.process_index()
     s_pp = settings.replace(
         Nb=settings.Nb_per_pixel,
         preserve_aspect_ratio=settings.preserve_aspect_ratio_per_pixel,

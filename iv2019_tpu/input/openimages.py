@@ -137,7 +137,11 @@ def bbox_train_input(
         )
         return {"proimages": proimage, "prolabels": prolabel, "imageids": imageid}
 
-    items = core.shuffle_repeat(lambda: iter(imageid2bboxes.items()), seed=seed)
+    from iv2019_tpu.parallel.multihost import shard_records
+
+    items = core.shuffle_repeat(
+        lambda: shard_records(imageid2bboxes.items()), seed=seed
+    )
     mapped = core.parallel_map(_pre, items)
     for batch in core.batched(mapped, settings.Nb):
         batch["proimages"] = core.from_0_1_to_m1_1(batch["proimages"])
@@ -188,7 +192,11 @@ def image_labels_train_input(
         )
         return {"proimages": proimage, "prolabels": prolabel, "imageids": imageid}
 
-    items = core.shuffle_repeat(lambda: iter(imageid2mids.items()), seed=seed)
+    from iv2019_tpu.parallel.multihost import shard_records
+
+    items = core.shuffle_repeat(
+        lambda: shard_records(imageid2mids.items()), seed=seed
+    )
     mapped = core.parallel_map(_pre, items)
     for batch in core.batched(mapped, settings.Nb):
         batch["proimages"] = core.from_0_1_to_m1_1(batch["proimages"])

@@ -34,19 +34,36 @@ _warned_replication = set()
 def _to_device(batch: dict, mesh) -> dict:
     import math
 
+    from iv2019_tpu.parallel.multihost import put_sharded
+
     bs = batch_sharding(mesh)
     ims = image_sharding(mesh)
     rs = replicated_sharding(mesh)
     n_batch = math.prod(mesh.shape[a] for a in batch_axes(mesh))
     n_sp = mesh.shape.get("spatial", 1)
+    # multi-process: each host feeds its LOCAL sub-batch, which must divide
+    # by this host's share of the batch shards (parallel/multihost.py)
+    pc = jax.process_count()
+    local_shards = max(n_batch // pc, 1)
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            shardable = v.ndim > 0 and v.shape[0] > 0 and v.shape[0] % n_batch == 0
+            shardable = (
+                v.ndim > 0 and v.shape[0] > 0 and v.shape[0] % local_shards == 0
+            )
             # rank>=3 only: images/labels are [N,H,W,...]; a [N,C] array
             # must not have its class dim sharded as 'spatial'
             spatial_ok = shardable and v.ndim > 2 and v.shape[1] % n_sp == 0
             if not shardable and v.ndim > 0 and v.shape[0] > 0 and mesh.size > 1:
+                if pc > 1:
+                    # replication needs identical values on every process; a
+                    # non-divisible local sub-batch differs per host — error
+                    raise ValueError(
+                        f"batch '{k}' with local leading dim {v.shape[0]} is "
+                        f"not divisible by this host's {local_shards} batch "
+                        "shards; use global batch sizes divisible by "
+                        "num_processes * per-host batch shards."
+                    )
                 # replication fallback: correct, but the work runs on one
                 # chip's slice of data while the rest idle (VERDICT weak #5)
                 key = (k, v.shape[0], mesh.size)
@@ -59,7 +76,7 @@ def _to_device(batch: dict, mesh) -> dict:
                         "batch size divisible by the device count.",
                         stacklevel=2,
                     )
-            out[k] = jax.device_put(
+            out[k] = put_sharded(
                 v, ims if spatial_ok else (bs if shardable else rs)
             )
         else:

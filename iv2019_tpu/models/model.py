@@ -296,8 +296,11 @@ class HierarchicalSegmentationModel(nn.Module):
 
 def build_model(settings: Settings) -> HierarchicalSegmentationModel:
     """Model from Settings (the reference's params-driven construction)."""
+    from iv2019_tpu.models.resnet import FEATURE_EXTRACTOR_BLOCKS
+
     return HierarchicalSegmentationModel(
         taxonomy=get_taxonomy(settings.per_pixel_dataset_name),
+        resnet_blocks=FEATURE_EXTRACTOR_BLOCKS[settings.name_feature_extractor],
         stride_feature_extractor=settings.stride_feature_extractor,
         feature_dims_decreased=settings.feature_dims_decreased,
         fov_expansion_kernel_size=settings.fov_expansion_kernel_size,

@@ -26,7 +26,14 @@ from flax import linen as nn
 import jax
 from iv2019_tpu.models.layers import BottleneckV1, ConvSame, Norm, variance_scaling_init
 
-__all__ = ["ResNetV1", "RESNET50_BLOCKS", "RootConvS2D"]
+__all__ = [
+    "ResNetV1",
+    "RESNET50_BLOCKS",
+    "RESNET101_BLOCKS",
+    "RESNET152_BLOCKS",
+    "FEATURE_EXTRACTOR_BLOCKS",
+    "RootConvS2D",
+]
 
 # (num_units, depth, depth_bottleneck); stride 2 on last unit (blocks 1-3)
 RESNET50_BLOCKS: tuple[tuple[int, int, int], ...] = (
@@ -35,6 +42,29 @@ RESNET50_BLOCKS: tuple[tuple[int, int, int], ...] = (
     (6, 1024, 256),
     (3, 2048, 512),
 )
+
+# deeper slim variants (same bottleneck units, more block-3 repeats) — the
+# capacity lever the reference leaves behind its "only resnet_v1_50"
+# guard (reference system_factory.py:426-429); identical stride/dilation
+# bookkeeping, warm-startable from slim ImageNet checkpoints
+RESNET101_BLOCKS: tuple[tuple[int, int, int], ...] = (
+    (3, 256, 64),
+    (4, 512, 128),
+    (23, 1024, 256),
+    (3, 2048, 512),
+)
+RESNET152_BLOCKS: tuple[tuple[int, int, int], ...] = (
+    (3, 256, 64),
+    (8, 512, 128),
+    (36, 1024, 256),
+    (3, 2048, 512),
+)
+
+FEATURE_EXTRACTOR_BLOCKS = {
+    "resnet_v1_50": RESNET50_BLOCKS,
+    "resnet_v1_101": RESNET101_BLOCKS,
+    "resnet_v1_152": RESNET152_BLOCKS,
+}
 
 
 def _unit_plan(blocks: Sequence[tuple[int, int, int]], output_stride: int):

@@ -119,7 +119,9 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _put(x, sharding):
-    return jax.device_put(x, sharding)
+    from iv2019_tpu.parallel.multihost import put_sharded
+
+    return put_sharded(x, sharding)
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

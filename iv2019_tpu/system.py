@@ -191,18 +191,24 @@ class SemanticSegmentation:
         profile_every: Optional[int] = None,
     ):
         s = self._settings
+        from iv2019_tpu.parallel import multihost
+
+        # must come before any input pipeline / mesh construction: both ask
+        # for the process count
+        multihost.initialize(s)
         os.makedirs(s.log_dir, exist_ok=True)
 
-        settings_path = join(s.log_dir, "settings.txt")
-        assert not exists(settings_path), (
-            f"Previous settings.txt found in {s.log_dir}. Rename or delete it "
-            "manually and restart training."
-        )
-        s.dump(settings_path)
+        if multihost.is_primary():
+            settings_path = join(s.log_dir, "settings.txt")
+            assert not exists(settings_path), (
+                f"Previous settings.txt found in {s.log_dir}. Rename or delete "
+                "it manually and restart training."
+            )
+            s.dump(settings_path)
 
-        # code snapshot (reference train.py:38)
-        pkg_root = os.path.dirname(os.path.abspath(__file__))
-        zipit(pkg_root, join(s.log_dir, "all_code.zip"))
+            # code snapshot (reference train.py:38)
+            pkg_root = os.path.dirname(os.path.abspath(__file__))
+            zipit(pkg_root, join(s.log_dir, "all_code.zip"))
 
         from iv2019_tpu.train.loop import default_profile_every, train as run_train
 
@@ -285,6 +291,12 @@ class SemanticSegmentation:
 
     def evaluate(self) -> list[dict]:
         s = self._settings
+        if s.num_processes > 1:
+            raise NotImplementedError(
+                "evaluate/predict are single-host programs (run them on one "
+                "process over its local chips); multi-host is a training "
+                "feature (parallel/multihost.py)."
+            )
         os.makedirs(self.eval_res_dir, exist_ok=True)
         s.dump(join(self.eval_res_dir, "settings.txt"))
 

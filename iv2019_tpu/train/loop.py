@@ -36,6 +36,22 @@ from iv2019_tpu.utils.checkpoint import CheckpointManager, warm_start_from_npz
 __all__ = ["MetricsLogger", "train"]
 
 
+class NullLogger:
+    """No-op logger for non-primary processes (multi-host training): every
+    process computes the same replicated metrics; only the chief writes."""
+
+    _tb = None
+
+    def log(self, step, metrics):
+        pass
+
+    def log_images(self, step, images):
+        pass
+
+    def close(self):
+        pass
+
+
 class MetricsLogger:
     """Scalar metrics to JSONL + TensorBoard (native TF-free event writer).
 
@@ -105,6 +121,11 @@ def train(
     _RunMetadataHook); ``profile_steps=(a, b)`` traces the explicit window
     [a, b) instead. system.train() passes the reference's default cadence.
     """
+    from iv2019_tpu.parallel import multihost
+
+    multihost.initialize(settings)
+    primary = multihost.is_primary()
+    single_process = multihost.process_count() == 1
     mesh = mesh or create_mesh(
         settings.num_devices,
         num_slices=settings.num_slices,
@@ -127,7 +148,9 @@ def train(
             lambda: model.init(jax.random.PRNGKey(0), np.zeros(shape, np.float32))
         )()
 
-    ckpt = CheckpointManager(settings.log_dir)
+    ckpt = CheckpointManager(
+        settings.log_dir, async_save=settings.async_checkpoints
+    )
     fused_opt = None
     if settings.fused_optimizer and settings.optimizer in ("SGD", "SGDM"):
         from iv2019_tpu.train.fused_update import FusedSGDM
@@ -150,14 +173,15 @@ def train(
         params, batch_stats, n = warm_start_from_npz(
             state.params, state.batch_stats, settings.init_ckpt_path
         )
-        print(f"warm start: restored {n} backbone arrays from "
-              f"{settings.init_ckpt_path}")
+        if primary:
+            print(f"warm start: restored {n} backbone arrays from "
+                  f"{settings.init_ckpt_path}")
         state = state.replace(params=params, batch_stats=batch_stats)
 
     state = replicate(state, mesh)
     step_fn = make_train_step(settings, model=model, tx=tx, fused_opt=fused_opt, mesh=mesh)
 
-    logger = MetricsLogger(settings.log_dir)
+    logger = MetricsLogger(settings.log_dir) if primary else NullLogger()
     num_steps = max_steps or settings.num_training_steps
     save_every = settings.save_checkpoints_steps or max(num_steps, 1)
     summary_every = max(settings.save_summaries_steps, 1)
@@ -166,9 +190,12 @@ def train(
     # counterpart of the reference's drawing section
     # (define_estimator_hierarchical.py:317-378). One extra 1-image forward
     # per summary interval, off the hot path.
+    # multi-host: image summaries need host-side slicing of batch-sharded
+    # global arrays (only addressable on their owning processes) — the one
+    # summary stream that does not survive N processes; scalars/ckpts do
     summary_fn = None
     palette = None
-    if image_summaries and logger._tb is not None:
+    if image_summaries and single_process and logger._tb is not None:
         try:
             from iv2019_tpu.problem.problem_def import load_problem_def
 
@@ -202,6 +229,8 @@ def train(
         if step >= num_steps:
             break
         tracing = False
+        if not primary:
+            profile_steps = profile_every = None  # chief-only traces
         if profile_steps and step == profile_steps[0]:
             jax.profiler.start_trace(os.path.join(settings.log_dir, "profile"))
         elif profile_every and step > 0 and step % profile_every == 0:
@@ -260,7 +289,9 @@ def train(
                 # must not silently disable summaries (VERDICT r2 weak #4)
                 warnings.warn(f"image summaries disabled after error: {e!r}")
                 summary_fn = None
-        if step % save_every == 0 or step == num_steps:
+        if (step % save_every == 0 or step == num_steps) and primary:
+            # state is fully replicated, so the chief's host copy is the
+            # global state; non-chief processes skip the filesystem write
             ckpt.save(step, jax.device_get(state))
             t_last = time.time()  # don't count ckpt time in throughput
 

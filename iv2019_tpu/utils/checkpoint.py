@@ -44,11 +44,21 @@ WARM_START_EXCLUSIONS = (
 
 
 class CheckpointManager:
-    """Thin orbax wrapper bound to a log_dir."""
+    """Thin orbax wrapper bound to a log_dir.
 
-    def __init__(self, log_dir: str, keep: Optional[int] = None):
+    ``async_save=True`` overlaps the checkpoint write with subsequent
+    training steps (orbax's background thread): ``save`` returns after
+    the host copy is snapshotted, and the write is awaited before any
+    read (``latest_step``/``restore``) and in ``close``. The reference's
+    Estimator saver blocks the step loop for the full write
+    (system_factory.py:287-295); on TPU pods async saves are the norm.
+    """
+
+    def __init__(self, log_dir: str, keep: Optional[int] = None,
+                 async_save: bool = False):
         self._dir = os.path.abspath(os.path.join(log_dir, "checkpoints"))
         os.makedirs(self._dir, exist_ok=True)
+        self._async = async_save
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
@@ -56,15 +66,22 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+        if not self._async:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()  # an in-flight save IS the latest
         return self._mgr.latest_step()
 
     def all_steps(self) -> list[int]:
+        self._mgr.wait_until_finished()
         return list(self._mgr.all_steps())
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self._dir}")
@@ -75,6 +92,7 @@ class CheckpointManager:
         return self._mgr.restore(step)
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 
@@ -95,7 +113,7 @@ def slim_name_to_flax_path(name: str) -> Optional[tuple[str, ...]]:
     name = name.split(":")[0]
     if any(e in name for e in WARM_START_EXCLUSIONS):
         return None
-    m = re.match(r"(?:.*?)?resnet_v1_50/(.*)", name)
+    m = re.match(r"(?:.*?)?resnet_v1_(?:50|101|152)/(.*)", name)
     if not m:
         return None
     rest = m.group(1)

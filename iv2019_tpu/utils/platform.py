@@ -22,7 +22,10 @@ __all__ = ["honor_platform_env"]
 def honor_platform_env() -> None:
     """Apply JAX_PLATFORMS / JAX_PLATFORM_NAME via jax.config (no-op when
     unset or when the backend is already initialized)."""
-    plat = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
+    # JAX_PLATFORM_NAME first: plugin environments pre-export
+    # JAX_PLATFORMS=<plugin> globally, so the legacy var is the only
+    # channel a user has left to force CPU — it must win
+    plat = os.environ.get("JAX_PLATFORM_NAME") or os.environ.get("JAX_PLATFORMS")
     if not plat:
         return
     try:

@@ -144,3 +144,30 @@ class TestCheckpointManager:
             mgr.save(s, {"x": np.asarray(s)})
         assert mgr.all_steps() == [1, 2, 3]  # unbounded retention
         mgr.close()
+
+    def test_async_save_read_after_write(self, tmp_path):
+        # async saves overlap the write with training; every read path must
+        # await in-flight writes so semantics match the blocking manager
+        state = {"params": {"w": np.arange(4, dtype=np.float32)}}
+        mgr = CheckpointManager(str(tmp_path), async_save=True)
+        mgr.save(1, state)
+        assert mgr.latest_step() == 1  # awaits the in-flight write
+        mgr.save(2, {"params": {"w": state["params"]["w"] * 2}})
+        restored = mgr.restore(template=state)  # awaits, then reads step 2
+        np.testing.assert_array_equal(
+            restored["params"]["w"], state["params"]["w"] * 2
+        )
+        mgr.close()
+
+        # a fresh (reader) manager sees both completed steps on disk
+        reader = CheckpointManager(str(tmp_path))
+        assert reader.all_steps() == [1, 2]
+        reader.close()
+
+    def test_async_close_flushes(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), async_save=True)
+        mgr.save(7, {"x": np.asarray(7)})
+        mgr.close()  # must flush the pending write
+        reader = CheckpointManager(str(tmp_path))
+        assert reader.latest_step() == 7
+        reader.close()
