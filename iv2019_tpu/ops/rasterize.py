@@ -14,7 +14,13 @@ on host (numpy) or on device (jnp under jit, batched with vmap):
 
 Semantics match the reference exactly: pixel box extents are
 ``int(coord * size)`` with the *max* edge inclusive, per-pixel counts are
-normalized by their sum when > 0.5 else replaced by one-hot void.
+normalized by their sum when > 0.5 else replaced by one-hot void. The
+count-weighted multinomial over overlapping boxes ([2,1,0] -> [2/3,1/3,0])
+is the v1 pipeline's formula (reference input_subset_bboxes.py:66-84),
+which v2 kept — so this module covers the legacy v1 reader's labeling
+semantics too (SURVEY C19); v1's remaining delta is only its hard-coded
+10-class mid2cid table, superseded by the mapping files the v2 reader
+(input/openimages.py) loads.
 """
 
 from __future__ import annotations

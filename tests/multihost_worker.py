@@ -16,6 +16,10 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--pid", type=int, default=None)
 parser.add_argument("--nproc", type=int, default=2)
 parser.add_argument("--port", type=int, default=0)
+parser.add_argument("--spatial", type=int, default=1,
+                    help="spatial_partitions: composes the multi-host 'data' "
+                         "axis (across processes) with image-height sharding "
+                         "(within each process's local chips)")
 args = parser.parse_args()
 distributed = args.pid is not None
 
@@ -69,7 +73,12 @@ if distributed:
     mine = list(multihost.shard_records(range(10)))
     assert mine == list(range(args.pid or 0, 10, args.nproc)), mine
 
-mesh = create_mesh()
+mesh = create_mesh(spatial_partitions=args.spatial)
+if args.spatial > 1:
+    # 4 devices as (data=4/F, spatial=F); device order puts 'data' across
+    # processes and 'spatial' within a process (create_mesh docstring), so
+    # each process still feeds full-height images for its batch share
+    assert mesh.shape["spatial"] == args.spatial, dict(mesh.shape)
 model = helpers.tiny_model(settings)
 tx, _ = make_optimizer(settings)
 

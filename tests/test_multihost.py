@@ -74,6 +74,29 @@ def test_two_process_matches_single_process():
     )
 
 
+def test_two_process_composes_with_spatial_partitioning():
+    """Multi-host 'data' axis (across processes) x 'spatial' axis (within
+    each process's local devices): the composed mesh must reproduce the
+    single-process spatial run — gradient all-reduce crosses processes
+    while conv halo exchanges stay process-local (parallel/mesh.py
+    device-order guarantee)."""
+    port = _free_port()
+    procs = [
+        _run_worker(["--pid", str(i), "--nproc", "2", "--port", str(port),
+                     "--spatial", "2"])
+        for i in range(2)
+    ]
+    ref_proc = _run_worker(["--spatial", "2"])
+    res = [_result(p) for p in procs]
+    ref = _result(ref_proc)
+
+    assert res[0]["losses"] == pytest.approx(res[1]["losses"], rel=1e-6)
+    assert res[0]["losses"] == pytest.approx(ref["losses"], rel=2e-4)
+    assert res[0]["param_sq_norm"] == pytest.approx(
+        ref["param_sq_norm"], rel=2e-4
+    )
+
+
 def test_local_share_and_shard_records_single_process():
     assert multihost.local_share(8) == 8  # process_count() == 1 here
     assert list(multihost.shard_records(range(5))) == [0, 1, 2, 3, 4]
