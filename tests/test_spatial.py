@@ -148,6 +148,48 @@ def test_train_step_parity_data_vs_spatial():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4, err_msg=str(p1))
 
 
+def test_eval_step_parity_data_vs_spatial():
+    """EVAL graph (cid remap + resize + confusion matrix) over a spatial
+    mesh == data mesh — the megapixel-inference path (evaluate/predict use
+    system.mesh, which honors --spatial_partitions)."""
+    from iv2019_tpu.train.step import make_eval_step
+
+    n, h, w = 8, 32, 64
+    settings = _settings(n, h, w)
+    model = HierarchicalSegmentationModel(
+        taxonomy=get_taxonomy("cityscapes"),
+        resnet_blocks=((2, 32, 8), (2, 64, 16)),
+        feature_dims_decreased=16,
+        accumulate_norm_statistics=False,
+        dtype=jnp.float32,
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3), jnp.float32)
+    )
+    host_vars = jax.tree.map(np.asarray, variables)
+    rng = np.random.RandomState(7)
+    images = rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32)
+    labels = rng.randint(0, 20, (n, h, w)).astype(np.int32)
+
+    eval_step = make_eval_step(
+        settings, model=model, tcids2ecids=list(range(19)) + [-1]
+    )
+    cms = {}
+    for name, mesh in (
+        ("data", create_mesh(8)),
+        ("spatial", create_mesh(8, spatial_partitions=2)),
+    ):
+        v = replicate(jax.tree.map(jnp.asarray, host_vars), mesh)
+        sharded = shard_batch({"im": images, "la": labels}, mesh)
+        cm = eval_step(
+            v["params"], v["batch_stats"], sharded["im"], sharded["la"]
+        )
+        cms[name] = np.asarray(jax.device_get(cm))
+
+    assert cms["data"].sum() == n * h * w  # every pixel counted once
+    np.testing.assert_array_equal(cms["data"], cms["spatial"])
+
+
 def test_forward_collectives_present():
     """The partitioned forward actually contains halo exchanges."""
     mesh = create_mesh(8, spatial_partitions=2)
