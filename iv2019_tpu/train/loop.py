@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import threading
 import time
 import warnings
 from typing import Iterator, Optional
@@ -224,9 +226,31 @@ def train(
         settings.Nb_per_pixel + settings.Nb_per_bbox + settings.Nb_per_image
     )
 
+    # graceful preemption: TPU-pod maintenance/eviction sends SIGTERM; finish
+    # the in-flight step, save a checkpoint at the true step count, exit
+    # cleanly so resume-from-latest loses no work. (The reference's Estimator
+    # dies and replays from the last periodic save.) Signal handlers only
+    # install from the main thread; elsewhere (tests, nested runs) training
+    # keeps the caller's handler and simply skips this feature.
+    preempted = threading.Event()
+    prev_sigterm = None
+    try:
+        prev_sigterm = signal.signal(
+            signal.SIGTERM, lambda signum, frame: preempted.set()
+        )
+    except ValueError:
+        pass
+
     for batch in device_prefetch(batch_iterator, mesh):
         step = int(state.step)
         if step >= num_steps:
+            break
+        if preempted.is_set():
+            if primary:
+                ckpt.save(step, jax.device_get(state), force=True)
+                ckpt.wait_until_finished()
+                print(f"preempted (SIGTERM): saved checkpoint at step {step} "
+                      "and exiting; resume by re-running on this log_dir")
             break
         tracing = False
         if not primary:
@@ -295,6 +319,11 @@ def train(
             ckpt.save(step, jax.device_get(state))
             t_last = time.time()  # don't count ckpt time in throughput
 
+    if prev_sigterm is not None:
+        try:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+        except ValueError:
+            pass
     logger.close()
     ckpt.close()
     return state
