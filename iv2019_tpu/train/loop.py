@@ -241,89 +241,93 @@ def train(
     except ValueError:
         pass
 
-    for batch in device_prefetch(batch_iterator, mesh):
-        step = int(state.step)
-        if step >= num_steps:
-            break
-        if preempted.is_set():
-            if primary:
-                ckpt.save(step, jax.device_get(state), force=True)
-                ckpt.wait_until_finished()
-                print(f"preempted (SIGTERM): saved checkpoint at step {step} "
-                      "and exiting; resume by re-running on this log_dir")
-            break
-        tracing = False
-        if not primary:
-            profile_steps = profile_every = None  # chief-only traces
-        if profile_steps and step == profile_steps[0]:
-            jax.profiler.start_trace(os.path.join(settings.log_dir, "profile"))
-        elif profile_every and step > 0 and step % profile_every == 0:
-            # automatic periodic single-step trace (reference _RunMetadataHook)
-            jax.profiler.start_trace(
-                os.path.join(settings.log_dir, "profile", f"step_{step}")
-            )
-            tracing = True
-        state, metrics = step_fn(state, {
-            k: v for k, v in batch.items() if not isinstance(v, list)
-        })
-        step += 1
-        weight_masks = metrics.pop("weight_masks", None)
-        if tracing:
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
-        elif profile_steps and step == profile_steps[1]:
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
-        if step % log_every == 0 or step == num_steps:
-            metrics = jax.device_get(metrics)
-            now = time.time()
-            ips = log_every * imgs_per_batch / max(now - t_last, 1e-9)
-            t_last = now
-            metrics["learning_rate"] = float(lr_fn(np.asarray(step)))
-            metrics["images_per_sec"] = ips
-            logger.log(step, metrics)
-        if summary_fn is not None and step % summary_every == 0:
-            try:
-                img = batch["proimages_per_pixel"][:1]
-                decs = np.asarray(jax.device_get(
-                    summary_fn(state.params, state.batch_stats, img)
-                ))
-                labels_img = np.asarray(
-                    jax.device_get(batch["prolabels_per_pixel"][0])
+    try:
+        for batch in device_prefetch(batch_iterator, mesh):
+            step = int(state.step)
+            if step >= num_steps:
+                break
+            if preempted.is_set():
+                if primary:
+                    ckpt.save(step, jax.device_get(state), force=True)
+                    ckpt.wait_until_finished()
+                    print(f"preempted (SIGTERM): saved checkpoint at step {step} "
+                          "and exiting; resume by re-running on this log_dir")
+                break
+            tracing = False
+            if not primary:
+                profile_steps = profile_every = None  # chief-only traces
+            if profile_steps and step == profile_steps[0]:
+                jax.profiler.start_trace(os.path.join(settings.log_dir, "profile"))
+            elif profile_every and step > 0 and step % profile_every == 0:
+                # automatic periodic single-step trace (reference _RunMetadataHook)
+                jax.profiler.start_trace(
+                    os.path.join(settings.log_dir, "profile", f"step_{step}")
                 )
-                k = len(palette)
-                images = {
-                    "proimage": np.asarray(
-                        (jax.device_get(img)[0] + 1.0) * 127.5
-                    ).astype(np.uint8),
-                    "decisions": palette[np.clip(decs, 0, k - 1)],
-                    "prolabels": palette[np.clip(labels_img, 0, k - 1)],
-                }
-                if weight_masks is not None:
-                    # loss weight masks — the main debugging view of the
-                    # paper's gating mechanism (reference tf.summary.image
-                    # 'l{1,2_*}_weights', define_losses_hierarchical.py:
-                    # 140,167,187)
-                    for name, m in jax.device_get(weight_masks).items():
-                        m8 = (np.clip(np.asarray(m), 0.0, 1.0) * 255).astype(np.uint8)
-                        images[f"debug/{name}"] = m8[..., None]
-                logger.log_images(step, images)
-            except Exception as e:
-                # log once, then stop trying — a broken palette/summary_fn
-                # must not silently disable summaries (VERDICT r2 weak #4)
-                warnings.warn(f"image summaries disabled after error: {e!r}")
-                summary_fn = None
-        if (step % save_every == 0 or step == num_steps) and primary:
-            # state is fully replicated, so the chief's host copy is the
-            # global state; non-chief processes skip the filesystem write
-            ckpt.save(step, jax.device_get(state))
-            t_last = time.time()  # don't count ckpt time in throughput
+                tracing = True
+            state, metrics = step_fn(state, {
+                k: v for k, v in batch.items() if not isinstance(v, list)
+            })
+            step += 1
+            weight_masks = metrics.pop("weight_masks", None)
+            if tracing:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+            elif profile_steps and step == profile_steps[1]:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+            if step % log_every == 0 or step == num_steps:
+                metrics = jax.device_get(metrics)
+                now = time.time()
+                ips = log_every * imgs_per_batch / max(now - t_last, 1e-9)
+                t_last = now
+                metrics["learning_rate"] = float(lr_fn(np.asarray(step)))
+                metrics["images_per_sec"] = ips
+                logger.log(step, metrics)
+            if summary_fn is not None and step % summary_every == 0:
+                try:
+                    img = batch["proimages_per_pixel"][:1]
+                    decs = np.asarray(jax.device_get(
+                        summary_fn(state.params, state.batch_stats, img)
+                    ))
+                    labels_img = np.asarray(
+                        jax.device_get(batch["prolabels_per_pixel"][0])
+                    )
+                    k = len(palette)
+                    images = {
+                        "proimage": np.asarray(
+                            (jax.device_get(img)[0] + 1.0) * 127.5
+                        ).astype(np.uint8),
+                        "decisions": palette[np.clip(decs, 0, k - 1)],
+                        "prolabels": palette[np.clip(labels_img, 0, k - 1)],
+                    }
+                    if weight_masks is not None:
+                        # loss weight masks — the main debugging view of the
+                        # paper's gating mechanism (reference tf.summary.image
+                        # 'l{1,2_*}_weights', define_losses_hierarchical.py:
+                        # 140,167,187)
+                        for name, m in jax.device_get(weight_masks).items():
+                            m8 = (np.clip(np.asarray(m), 0.0, 1.0) * 255).astype(np.uint8)
+                            images[f"debug/{name}"] = m8[..., None]
+                    logger.log_images(step, images)
+                except Exception as e:
+                    # log once, then stop trying — a broken palette/summary_fn
+                    # must not silently disable summaries (VERDICT r2 weak #4)
+                    warnings.warn(f"image summaries disabled after error: {e!r}")
+                    summary_fn = None
+            if (step % save_every == 0 or step == num_steps) and primary:
+                # state is fully replicated, so the chief's host copy is the
+                # global state; non-chief processes skip the filesystem write
+                ckpt.save(step, jax.device_get(state))
+                t_last = time.time()  # don't count ckpt time in throughput
+    finally:
+        # always restore the caller's SIGTERM disposition, even when a
+        # step raises -- a leaked handler would swallow real termination
+        if prev_sigterm is not None:
+            try:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+            except ValueError:
+                pass
 
-    if prev_sigterm is not None:
-        try:
-            signal.signal(signal.SIGTERM, prev_sigterm)
-        except ValueError:
-            pass
     logger.close()
     ckpt.close()
     return state
