@@ -17,6 +17,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 from typing import Any, Optional
 
 __all__ = ["Settings", "build_argparser", "settings_from_args", "TRAIN", "EVAL", "PREDICT"]
@@ -562,6 +563,62 @@ def dataset_name_from_log_dir(log_dir: str) -> Optional[str]:
     except OSError:
         return None
     return None
+
+
+# model-architecture-determining flags: eval/predict must rebuild the
+# TRAINED architecture or checkpoint restore fails with shape errors deep
+# inside orbax. Read from the run's settings.txt unless explicitly given.
+_MODEL_SHAPE_FIELDS = {
+    "name_feature_extractor": str,
+    "stride_feature_extractor": int,
+    "feature_dims_decreased": int,
+    "fov_expansion_kernel_size": int,
+    "fov_expansion_kernel_rate": int,
+    "psp_module": lambda s: s == "True",
+    "upsampling_method": str,
+}
+
+
+def trained_model_fields_from_log_dir(log_dir: str) -> dict:
+    """Read the architecture-determining fields from a training run's
+    settings.txt ('i : key : value' lines, Settings.dump). Missing file or
+    keys -> empty/partial dict."""
+    out: dict = {}
+    try:
+        with open(os.path.join(log_dir, "settings.txt")) as f:
+            for line in f:
+                parts = [t.strip() for t in line.split(" : ", 2)]
+                if len(parts) == 3 and parts[1] in _MODEL_SHAPE_FIELDS:
+                    out[parts[1]] = _MODEL_SHAPE_FIELDS[parts[1]](parts[2])
+    except OSError:
+        pass
+    return out
+
+
+def resolve_trained_model(
+    settings: Settings, argv: Optional[list] = None
+) -> Settings:
+    """Apply the trained run's architecture flags for eval/predict modes.
+
+    A flag the user passed explicitly (present in ``argv``) must match the
+    training run — a contradiction is a hard error here, not a shape
+    mismatch deep inside checkpoint restore. Flags not given fall back to
+    the trained values (the reference instead requires the user to repeat
+    every model flag, system_factory.py:426-429 + evaluate.py:29-33).
+    """
+    argv = sys.argv[1:] if argv is None else argv
+    updates = {}
+    for key, trained in trained_model_fields_from_log_dir(settings.log_dir).items():
+        current = getattr(settings, key)
+        if f"--{key}" in argv:
+            if current != trained:
+                raise SystemExit(
+                    f"--{key} {current} contradicts the training run in "
+                    f"{settings.log_dir} (settings.txt says {trained})."
+                )
+        elif current != trained:
+            updates[key] = trained
+    return settings.replace(**updates) if updates else settings
 
 
 def resolve_dataset_name(settings: Settings, explicit: Optional[str]) -> Settings:

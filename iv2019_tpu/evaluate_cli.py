@@ -18,6 +18,7 @@ from iv2019_tpu.config import (
     EVAL,
     build_argparser,
     resolve_dataset_name,
+    resolve_trained_model,
     settings_from_args,
 )
 from iv2019_tpu.input.cityscapes import evaluate_input
@@ -32,6 +33,7 @@ def main(argv):
     args = build_argparser(EVAL).parse_args(argv)
     settings = settings_from_args(args, EVAL)
     settings = resolve_dataset_name(settings, args.per_pixel_dataset_name)
+    settings = resolve_trained_model(settings, argv)
 
     system = SemanticSegmentation({"eval": evaluate_input}, settings=settings)
     all_metrics = system.evaluate()

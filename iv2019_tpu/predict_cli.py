@@ -35,6 +35,7 @@ from iv2019_tpu.config import (
     PREDICT,
     build_argparser,
     resolve_dataset_name,
+    resolve_trained_model,
     settings_from_args,
 )
 from iv2019_tpu.input.dataset_agnostic import predict_input
@@ -118,6 +119,7 @@ def main(argv):
     args = build_argparser(PREDICT).parse_args(argv)
     settings = settings_from_args(args, PREDICT, predict_keys=PREDICT_KEYS)
     settings = resolve_dataset_name(settings, args.per_pixel_dataset_name)
+    settings = resolve_trained_model(settings, argv)
 
     def _predict_fn(s, _problem_def):
         return predict_input(s)

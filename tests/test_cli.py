@@ -153,6 +153,73 @@ class TestDatasetNameResolution:
         assert s.per_pixel_dataset_name == "cityscapes"
 
 
+class TestTrainedModelResolution:
+    """Eval/predict must rebuild the trained *architecture* too: backbone
+    name, head width, PSP, FOV kernel, upsampler — read from
+    log_dir/settings.txt unless explicitly (and consistently) overridden
+    (regression: evaluating a --name_feature_extractor resnet_v1_101 run
+    restored a resnet_v1_50 template and died inside orbax)."""
+
+    def _trained_log(self, tmp_path, **kw):
+        from iv2019_tpu.config import Settings
+
+        s = Settings(
+            per_pixel_dataset_name="cityscapes", log_dir=str(tmp_path),
+            mode="train", Ntrain=8, Ne=3, learning_rate_boundaries=(1, 2),
+            learning_rate_values=(0.01, 0.005, 0.0025), **kw,
+        ).finalize()
+        s.dump(str(tmp_path / "settings.txt"))
+        return str(tmp_path)
+
+    def test_infers_architecture_fields(self, tmp_path):
+        from iv2019_tpu.config import resolve_trained_model
+
+        log = self._trained_log(
+            tmp_path, name_feature_extractor="resnet_v1_101",
+            feature_dims_decreased=128, psp_module=True,
+        )
+        argv = [log, "10", CITYSCAPES_JSON]
+        args = build_argparser(EVAL).parse_args(argv)
+        s = resolve_trained_model(settings_from_args(args, EVAL), argv)
+        assert s.name_feature_extractor == "resnet_v1_101"
+        assert s.feature_dims_decreased == 128
+        assert s.psp_module is True
+
+    def test_explicit_match_passes(self, tmp_path):
+        from iv2019_tpu.config import resolve_trained_model
+
+        log = self._trained_log(
+            tmp_path, name_feature_extractor="resnet_v1_101"
+        )
+        argv = [log, "10", CITYSCAPES_JSON,
+                "--name_feature_extractor", "resnet_v1_101"]
+        args = build_argparser(EVAL).parse_args(argv)
+        s = resolve_trained_model(settings_from_args(args, EVAL), argv)
+        assert s.name_feature_extractor == "resnet_v1_101"
+
+    def test_explicit_mismatch_is_hard_error(self, tmp_path):
+        import pytest
+
+        from iv2019_tpu.config import resolve_trained_model
+
+        log = self._trained_log(
+            tmp_path, name_feature_extractor="resnet_v1_101"
+        )
+        argv = [log, "10", CITYSCAPES_JSON,
+                "--name_feature_extractor", "resnet_v1_50"]
+        args = build_argparser(EVAL).parse_args(argv)
+        with pytest.raises(SystemExit, match="contradicts"):
+            resolve_trained_model(settings_from_args(args, EVAL), argv)
+
+    def test_no_settings_txt_keeps_cli_values(self, tmp_path):
+        from iv2019_tpu.config import resolve_trained_model
+
+        argv = [str(tmp_path), "10", CITYSCAPES_JSON]
+        args = build_argparser(EVAL).parse_args(argv)
+        s = resolve_trained_model(settings_from_args(args, EVAL), argv)
+        assert s.name_feature_extractor == "resnet_v1_50"
+
+
 def test_real_data_runbook_flags_exist():
     """Every --flag in tools/real_data_runbook.sh must be a real CLI flag,
     so the runbook cannot rot (VERDICT r2 #10: parity run must be a single
