@@ -451,7 +451,33 @@ def e2e_throughput(steps: int = 20, warmup: int = 3):
     }))
 
 
+def _preflight_backend(timeout_s: int = 300) -> None:
+    """Fail fast (instead of hanging forever) when the device tunnel is
+    wedged: probe backend init in a child process with a timeout. A wedged
+    axon relay hangs jax.devices() indefinitely under every env combination
+    (seen round 3); the parent would otherwise hang the whole bench run."""
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: backend init did not complete within {timeout_s}s — "
+            "device tunnel appears wedged; aborting instead of hanging.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    if probe.returncode != 0:
+        sys.stderr.buffer.write(probe.stderr[-2000:])
+        print("bench: backend init failed; aborting.", file=sys.stderr)
+        sys.exit(2)
+
+
 if __name__ == "__main__":
+    _preflight_backend()
     if len(sys.argv) > 1 and sys.argv[1] == "predict":
         predict_latency()
     elif len(sys.argv) > 1 and sys.argv[1] == "input":
