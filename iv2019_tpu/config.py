@@ -143,6 +143,12 @@ class Settings:
     coordinator_address: str = ""
     num_processes: int = 1
     process_id: int = 0
+    # deterministic host input pipelines: seeds the shuffle buffers and
+    # random crops (on-device augmentations are already deterministic via
+    # random_seed). None (default) = OS entropy, so interrupted runs resume
+    # with a fresh record order. Multi-host decorrelates per process
+    # (input_seed + 7919 * process_id).
+    input_seed: Optional[int] = None
     # overlap checkpoint writes with training (orbax background thread);
     # reads (resume, eval sweeps) and train-exit always await in-flight
     # writes, so semantics are identical — only the step loop stops
@@ -418,6 +424,9 @@ def _add_system_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--async_checkpoints", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="overlap checkpoint writes with training steps")
+    p.add_argument("--input_seed", type=int, default=None,
+                   help="seed the host input pipelines (shuffle, crops) for "
+                        "reproducible runs; default: OS entropy")
     p.add_argument("--synthetic_data", action="store_true")
 
 

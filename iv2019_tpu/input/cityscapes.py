@@ -54,6 +54,8 @@ def train_input(
     """Yields batched {'proimages', 'prolabels', 'rawimagespaths',
     'rawlabelspaths'} dicts; proimages f32 (Nb, hf, wf, 3) in [-1, 1),
     prolabels int32 (Nb, hf, wf)."""
+    if seed is None:
+        seed = settings.input_seed  # --input_seed: reproducible pipelines
     if settings.synthetic_data:
         yield from synthetic_train_batches(settings, problem_def, seed or 0)
         return

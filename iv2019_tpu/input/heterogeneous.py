@@ -60,6 +60,8 @@ def train_input(
     """
     from iv2019_tpu.parallel import multihost
 
+    if seed is None:
+        seed = settings.input_seed  # --input_seed: reproducible pipelines
     pc = multihost.process_count()
     if pc > 1:
         settings = settings.replace(

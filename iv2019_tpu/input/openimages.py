@@ -90,6 +90,8 @@ def bbox_train_input(
     (ops/rasterize.rasterize_bboxes) — the TPU-native answer to the
     reference's host py_func bottleneck (input_subset_bboxes_v2.py:3-4).
     """
+    if seed is None:
+        seed = settings.input_seed  # --input_seed: reproducible pipelines
     if settings.synthetic_data:
         yield from synthetic_weak_batches(settings, kind="bbox", seed=seed or 0)
         return
@@ -152,6 +154,8 @@ def image_labels_train_input(
     settings: Settings, seed: Optional[int] = None
 ) -> Iterator[dict]:
     """Image-level labels pipeline; same contract as bbox_train_input."""
+    if seed is None:
+        seed = settings.input_seed  # --input_seed: reproducible pipelines
     if settings.synthetic_data:
         yield from synthetic_weak_batches(settings, kind="image", seed=seed or 0)
         return

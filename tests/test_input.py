@@ -85,6 +85,26 @@ class TestSyntheticPipelines:
         assert batch["prolabels"].dtype == np.int32
         assert batch["proimages"].min() >= -1 and batch["proimages"].max() < 1
 
+    def test_input_seed_reproducible(self):
+        """--input_seed makes the host pipelines bitwise-reproducible;
+        distinct seeds decorrelate; default (None) stays OS-entropy."""
+        pd = load_problem_def(CITYSCAPES_JSON)
+
+        def first_batch(**kw):
+            return next(hetero_train_input(
+                tiny_settings(synthetic_data=True, **kw), pd
+            ))
+
+        a = first_batch(input_seed=7)
+        b = first_batch(input_seed=7)
+        c = first_batch(input_seed=8)
+        for k in ("proimages_per_pixel", "prolabels_per_pixel",
+                  "proimages_per_bbox", "prolabels_per_bbox"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        assert not np.array_equal(
+            a["proimages_per_pixel"], c["proimages_per_pixel"]
+        )
+
     def test_heterogeneous_combiner_layout(self):
         s = tiny_settings(synthetic_data=True)
         pd = load_problem_def(CITYSCAPES_JSON)

@@ -37,6 +37,33 @@ def _preempting_batches(batches, after: int):
         yield b
 
 
+def test_seeded_runs_are_bitwise_identical(tmp_path):
+    """--input_seed (host pipelines) + random_seed (on-device augment) +
+    fixed init => two runs produce identical parameters."""
+    import jax
+
+    finals = []
+    for run in ("a", "b"):
+        settings = tiny_settings(
+            log_dir=str(tmp_path / run),
+            training_problem_def_path=CITYSCAPES_JSON,
+            synthetic_data=True,
+            input_seed=13,
+        )
+        pd = load_problem_def(CITYSCAPES_JSON)
+        state = run_train(
+            settings, hetero_train_input(settings, pd),
+            model=tiny_model(settings, train=True),
+            max_steps=3, log_every=100, image_summaries=False,
+        )
+        finals.append(jax.device_get(state.params))
+    a_leaves = jax.tree_util.tree_leaves_with_path(finals[0])
+    b_leaves = jax.tree_util.tree_leaves_with_path(finals[1])
+    for (pa, va), (pb, vb) in zip(a_leaves, b_leaves):
+        assert pa == pb
+        np.testing.assert_array_equal(va, vb, err_msg=str(pa))
+
+
 def test_sigterm_saves_checkpoint_and_exits(tmp_path):
     settings = tiny_settings(
         log_dir=str(tmp_path),
