@@ -15,6 +15,7 @@ TensorFlow dependency:
 
 from __future__ import annotations
 
+import glob
 import struct
 from typing import Iterator, Union
 
@@ -35,8 +36,7 @@ KEYS2FEATURES_V5_KEYS = (
 )
 
 
-def read_tfrecords(path: str) -> Iterator[bytes]:
-    """Yield raw record payloads from a TFRecord file."""
+def _read_one_tfrecord_file(path: str) -> Iterator[bytes]:
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
@@ -48,6 +48,33 @@ def read_tfrecords(path: str) -> Iterator[bytes]:
                 raise IOError(f"truncated TFRecord in {path}")
             f.read(4)  # data crc
             yield data
+
+
+def read_tfrecords(path: str) -> Iterator[bytes]:
+    """Yield raw record payloads from TFRecord file(s).
+
+    ``path`` is a single file, a glob pattern (``train-*.tfrecord`` — the
+    sharded-dataset layout production writers emit), or a comma-separated
+    list of either; shards stream in sorted order so the record sequence
+    is deterministic (multi-host striding happens downstream at the record
+    level, parallel/multihost.shard_records). The reference reads exactly
+    one file per split (input_cityscapes.py:294-319)."""
+    paths: list[str] = []
+    for part in path.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if any(ch in part for ch in "*?["):
+            matches = sorted(glob.glob(part))
+            if not matches:
+                raise FileNotFoundError(f"no TFRecord files match {part!r}")
+            paths.extend(matches)
+        else:
+            paths.append(part)
+    if not paths:
+        raise FileNotFoundError(f"empty TFRecord path spec {path!r}")
+    for p in paths:
+        yield from _read_one_tfrecord_file(p)
 
 
 # --- minimal protobuf wire parsing ---------------------------------------

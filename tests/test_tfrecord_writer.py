@@ -24,6 +24,29 @@ def test_crc32c_known_vectors():
     assert crc32c(bytes(range(32))) == 0x46DD794E
 
 
+def test_sharded_read_glob_and_list(tmp_path):
+    """read_tfrecords accepts glob patterns and comma lists; shards stream
+    in sorted order (production sharded-dataset layout)."""
+    payloads = {}
+    for shard in range(3):
+        path = str(tmp_path / f"train-{shard:05d}-of-00003.tfrecord")
+        with TFRecordWriter(path) as w:
+            for i in range(2):
+                rec = encode_example({"id": [shard * 10 + i]})
+                w.write(rec)
+        payloads[shard] = path
+
+    def ids(records):
+        return [parse_example(r)["id"][0] for r in records]
+
+    got = ids(read_tfrecords(str(tmp_path / "train-*.tfrecord")))
+    assert got == [0, 1, 10, 11, 20, 21]  # sorted shard order
+    got = ids(read_tfrecords(f"{payloads[2]}, {payloads[0]}"))
+    assert got == [20, 21, 0, 1]  # explicit list keeps given order
+    with pytest.raises(FileNotFoundError, match="no TFRecord files"):
+        next(read_tfrecords(str(tmp_path / "missing-*.tfrecord")))
+
+
 def test_roundtrip_own_reader(tmp_path):
     path = str(tmp_path / "own.tfrecords")
     with TFRecordWriter(path) as w:
