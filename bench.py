@@ -477,7 +477,10 @@ def _preflight_backend(timeout_s: int = 300) -> None:
 
 
 if __name__ == "__main__":
-    _preflight_backend()
+    if not (len(sys.argv) > 1 and sys.argv[1] == "input"):
+        # 'input' is host-only (no device needed); every other mode would
+        # hang forever on a wedged tunnel without the preflight probe
+        _preflight_backend()
     if len(sys.argv) > 1 and sys.argv[1] == "predict":
         predict_latency()
     elif len(sys.argv) > 1 and sys.argv[1] == "input":

@@ -230,6 +230,12 @@ class Settings:
     openimages_image_dir: str = ""
     openimages_bboxes_path: str = ""  # imageid2bboxes pickle/json
     openimages_image_labels_path: str = ""  # imageid2mids pickle/json
+    # weak-label MID aggregation: "v2" (15 fine classes,
+    # input_subset_bboxes_v2.py:38-53) or the legacy "v1" (10 aggregated
+    # classes — all human MIDs merged, signs merged;
+    # input_subset_bboxes.py:37-52). v1 cids are projected into the v2
+    # space so the 15-class loss tables apply unchanged.
+    openimages_label_space: str = "v2"
     # synthetic-data mode for benchmarking / tests without datasets on disk
     synthetic_data: bool = False
 
@@ -295,6 +301,11 @@ class Settings:
                         f"{name}={nb} (equal microbatch slices per supervision "
                         "type)."
                     )
+        if self.openimages_label_space not in ("v1", "v2"):
+            raise ValueError(
+                f"openimages_label_space must be 'v1' or 'v2', got "
+                f"{self.openimages_label_space!r}."
+            )
         if self.num_processes < 0:
             raise ValueError("num_processes must be >= 0 (0 = TPU-pod auto).")
         if self.num_processes > 1:
@@ -491,6 +502,11 @@ def _add_train_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--openimages_image_dir", type=str, default="")
     p.add_argument("--openimages_bboxes_path", type=str, default="")
     p.add_argument("--openimages_image_labels_path", type=str, default="")
+    p.add_argument("--openimages_label_space", type=str, default="v2",
+                   choices=("v1", "v2"),
+                   help="MID aggregation: v2 = 15 fine weak classes "
+                        "(input_subset_bboxes_v2.py:38-53); v1 = legacy 10 "
+                        "aggregated classes (input_subset_bboxes.py:37-52)")
 
 
 def _add_inference_arguments(p: argparse.ArgumentParser) -> None:
@@ -616,10 +632,15 @@ def resolve_trained_model(
     every model flag, system_factory.py:426-429 + evaluate.py:29-33).
     """
     argv = sys.argv[1:] if argv is None else argv
+
+    def given(key: str) -> bool:
+        # both argparse spellings: "--key value" and "--key=value"
+        return any(t == f"--{key}" or t.startswith(f"--{key}=") for t in argv)
+
     updates = {}
     for key, trained in trained_model_fields_from_log_dir(settings.log_dir).items():
         current = getattr(settings, key)
-        if f"--{key}" in argv:
+        if given(key):
             if current != trained:
                 raise SystemExit(
                     f"--{key} {current} contradicts the training run in "

@@ -63,14 +63,17 @@ def train_input(
     path = tfrecords_path or settings.tfrecords_path or settings.tfrecords_path_per_pixel
     lut = problem_def.lids2cids_voids_replaced()
     hw = (settings.height_feature_extractor, settings.width_feature_extractor)
-    rng = np.random.RandomState(seed)
+    # per-item rng: deterministic under --input_seed and race-free across
+    # the decode pool (a shared RandomState would depend on scheduling)
+    make_rng = core.per_item_rng_factory(seed)
 
-    def _prebatch(record: bytes) -> dict:
+    def _prebatch(indexed: tuple) -> dict:
+        index, record = indexed
         image, label, im_path, la_path = _parse_record(record)
         image = core.convert_image_dtype(image)
         label = core.map_lids_to_cids(label, lut)
         proimage, prolabel = core.resize_images_and_labels(
-            image, label, hw, settings.preserve_aspect_ratio, rng
+            image, label, hw, settings.preserve_aspect_ratio, make_rng(index)
         )
         return {
             "proimages": proimage,
@@ -85,7 +88,7 @@ def train_input(
     records = core.shuffle_repeat(
         lambda: shard_records(read_tfrecords(path)), seed=seed
     )
-    mapped = core.parallel_map(_prebatch, records)
+    mapped = core.parallel_map(_prebatch, enumerate(records))
     for batch in core.batched(mapped, settings.Nb):
         batch["proimages"] = core.from_0_1_to_m1_1(batch["proimages"])
         yield batch

@@ -35,12 +35,14 @@ __all__ = [
     "SHUFFLE_BUFFER",
     "NUM_PARALLEL_CALLS",
     "shuffle_repeat",
+    "per_item_rng_factory",
     "parallel_map",
     "batched",
     "from_0_1_to_m1_1",
     "convert_image_dtype",
     "map_lids_to_cids",
     "aspect_preserving_size",
+    "resize_bilinear_fast",
     "resize_images_and_labels",
 ]
 
@@ -69,6 +71,30 @@ def shuffle_repeat(
         yield from buf
         if not repeat:
             return
+
+
+def per_item_rng_factory(
+    seed: Optional[int],
+) -> Callable[[int], np.random.RandomState]:
+    """Deterministic, thread-safe randomness for parallel_map workers.
+
+    A single shared RandomState across the decode pool makes draw order
+    depend on thread scheduling (and concurrent access is not
+    thread-safe). Instead each item gets its own RandomState derived from
+    ``(seed, item_index)`` via SeedSequence spawn keys — identical crops
+    for identical ``--input_seed`` regardless of worker count or
+    scheduling. ``seed=None`` draws base entropy from the OS once (the
+    unseeded default stays nondeterministic across runs but is still
+    race-free within one)."""
+    base = np.random.SeedSequence(seed)
+
+    def make(index: int) -> np.random.RandomState:
+        child = np.random.SeedSequence(
+            entropy=base.entropy, spawn_key=(index,)
+        )
+        return np.random.RandomState(np.random.MT19937(child))
+
+    return make
 
 
 def parallel_map(
@@ -144,6 +170,14 @@ def aspect_preserving_size(
     return (int(math.ceil(scale * fh)), int(math.ceil(scale * fw)))
 
 
+def resize_bilinear_fast(image: np.ndarray, target_hw: Sequence[int]) -> np.ndarray:
+    """Bilinear resize via the native C++ kernel (~80x faster), falling
+    back to the Python oracle when the native library is unavailable."""
+    rh, rw = int(target_hw[0]), int(target_hw[1])
+    rimage = native.resize_bilinear_f32(image.astype(np.float32), (rh, rw))
+    return rimage if rimage is not None else resize_bilinear(image, (rh, rw))
+
+
 def resize_images_and_labels(
     image: np.ndarray,
     label: Optional[np.ndarray],
@@ -167,8 +201,7 @@ def resize_images_and_labels(
     # native C++ kernels (bit-exact vs the Python oracle, ~80x faster);
     # labels here are single examples with spatial dims leading:
     # (H, W) int sparse or (H, W, C) float multinomial
-    rimage = native.resize_bilinear_f32(image.astype(np.float32), (rh, rw))
-    image = rimage if rimage is not None else resize_bilinear(image, (rh, rw))
+    image = resize_bilinear_fast(image, (rh, rw))
     if label is not None:
         rlabel = native.resize_nearest(label, (rh, rw))
         label = rlabel if rlabel is not None else resize_nearest_hw(label, (rh, rw))

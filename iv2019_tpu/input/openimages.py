@@ -11,6 +11,13 @@ Two pipelines, parity with the reference:
   ground truth is a single multinomial vector (uniform over present
   classes) tiled to the image size (:73-96,:107).
 
+Both honor ``--openimages_label_space``: "v2" (default, 15 fine classes) or
+the legacy "v1" aggregation (input_subset_bboxes.py:37-52 — human MIDs
+merged, signs merged), realized as a projection into the v2 space so losses
+and fusion need no second set of tables. The v1 normalization formula
+(input_subset_bboxes.py:71-83) is identical to v2's, so rasterization code
+is shared.
+
 The reference's serial ``tf.py_func`` rasterizer is replaced by the
 vectorized corner-delta rasterizer in ops/rasterize.py (numpy here on host;
 the identical jnp kernel can run on device). ``MAX_N_BBOXES`` padding
@@ -33,16 +40,39 @@ from iv2019_tpu.ops.rasterize import (
     image_label_multinomial_np,
     rasterize_bboxes_np,
 )
-from iv2019_tpu.problem.taxonomy import NUM_WEAK_CLASSES, OPEN_IMAGES_MID2CID
+from iv2019_tpu.problem.taxonomy import (
+    NUM_WEAK_CLASSES,
+    OPEN_IMAGES_MID2CID,
+    OPEN_IMAGES_MID2CID_V1,
+    V1_CID2V2_CID,
+)
 
 __all__ = [
     "bbox_train_input",
     "image_labels_train_input",
     "synthetic_weak_batches",
+    "mid2cid_for",
     "MAX_N_BBOXES",
 ]
 
 MAX_N_BBOXES = 516  # reference input_subset_bboxes_v2.py:33
+
+
+def mid2cid_for(settings: Settings) -> dict:
+    """MID -> v2 weak cid under the selected --openimages_label_space.
+
+    "v2" is the 15-class map (input_subset_bboxes_v2.py:38-53). "v1"
+    reproduces the legacy aggregation (input_subset_bboxes.py:37-52: human
+    MIDs merged, signs merged) by composing its 10-class cids with the
+    V1_CID2V2_CID injection, so the downstream 15-class tables apply
+    unchanged while the *label semantics* are exactly v1's.
+    """
+    if settings.openimages_label_space == "v1":
+        return {
+            mid: int(V1_CID2V2_CID[cid])
+            for mid, cid in OPEN_IMAGES_MID2CID_V1.items()
+        }
+    return OPEN_IMAGES_MID2CID
 
 
 def _load_mapping(path: str) -> dict:
@@ -98,16 +128,20 @@ def bbox_train_input(
 
     imageid2bboxes = _load_mapping(settings.openimages_bboxes_path)
     image_dir = settings.openimages_image_dir
+    mid2cid = mid2cid_for(settings)
     hw = (settings.height_feature_extractor, settings.width_feature_extractor)
-    rng = np.random.RandomState(seed)
+    # per-item rng: deterministic under --input_seed and race-free across
+    # the decode pool (a shared RandomState would depend on scheduling)
+    make_rng = core.per_item_rng_factory(seed)
     on_device = settings.rasterize_on_device
 
-    def _pre(item) -> dict:
-        imageid, bboxes = item
+    def _pre(indexed) -> dict:
+        index, (imageid, bboxes) = indexed
+        rng = make_rng(index)
         image = core.convert_image_dtype(_read_image(image_dir, imageid))
         h, w = image.shape[:2]
         cids = np.asarray(
-            [OPEN_IMAGES_MID2CID.get(mid, -1) for mid, _ in bboxes], np.int32
+            [mid2cid.get(mid, -1) for mid, _ in bboxes], np.int32
         )
         coords = np.asarray([c for _, c in bboxes], np.float32).reshape(-1, 4)
         if on_device:
@@ -117,7 +151,7 @@ def bbox_train_input(
                 rh, rw = hw
             oy = rng.randint(0, rh - hw[0] + 1) if rh > hw[0] else 0
             ox = rng.randint(0, rw - hw[1] + 1) if rw > hw[1] else 0
-            proimage = core.resize_bilinear(image, (rh, rw))[
+            proimage = core.resize_bilinear_fast(image, (rh, rw))[
                 oy : oy + hw[0], ox : ox + hw[1]
             ]
             n = min(len(cids), MAX_N_BBOXES)
@@ -144,7 +178,7 @@ def bbox_train_input(
     items = core.shuffle_repeat(
         lambda: shard_records(imageid2bboxes.items()), seed=seed
     )
-    mapped = core.parallel_map(_pre, items)
+    mapped = core.parallel_map(_pre, enumerate(items))
     for batch in core.batched(mapped, settings.Nb):
         batch["proimages"] = core.from_0_1_to_m1_1(batch["proimages"])
         yield batch
@@ -162,29 +196,27 @@ def image_labels_train_input(
 
     imageid2mids = _load_mapping(settings.openimages_image_labels_path)
     image_dir = settings.openimages_image_dir
+    mid2cid = mid2cid_for(settings)
     hw = (settings.height_feature_extractor, settings.width_feature_extractor)
-    rng = np.random.RandomState(seed)
+    # per-item rng: deterministic under --input_seed and race-free across
+    # the decode pool (a shared RandomState would depend on scheduling)
+    make_rng = core.per_item_rng_factory(seed)
     compact = settings.compact_image_labels
 
-    def _pre(item) -> dict:
-        imageid, mids = item
+    def _pre(indexed) -> dict:
+        index, (imageid, mids) = indexed
+        rng = make_rng(index)
         image = core.convert_image_dtype(_read_image(image_dir, imageid))
-        cids = [OPEN_IMAGES_MID2CID.get(mid, -1) for mid in mids]
+        cids = [mid2cid.get(mid, -1) for mid in mids]
         vec = image_label_multinomial_np([c for c in cids if c >= 0])
         if compact:
             # the multinomial is constant across the image, so resize/crop
             # leaves it unchanged — ship the (15,) vector, tile on device
-            # (train/step.py), saving the dense (H, W, 15) h2d transfer
-            h0, w0 = image.shape[:2]
-            if settings.preserve_aspect_ratio:
-                rh, rw = core.aspect_preserving_size((h0, w0), hw, "max")
-            else:
-                rh, rw = hw
-            oy = rng.randint(0, rh - hw[0] + 1) if rh > hw[0] else 0
-            ox = rng.randint(0, rw - hw[1] + 1) if rw > hw[1] else 0
-            proimage = core.resize_bilinear(image, (rh, rw))[
-                oy : oy + hw[0], ox : ox + hw[1]
-            ]
+            # (train/step.py), saving the dense (H, W, 15) h2d transfer;
+            # the shared helper does aspect+crop with the native kernel
+            proimage, _ = core.resize_images_and_labels(
+                image, None, hw, settings.preserve_aspect_ratio, rng
+            )
             return {
                 "proimages": proimage,
                 "image_label_vecs": vec.astype(np.float32),
@@ -201,7 +233,7 @@ def image_labels_train_input(
     items = core.shuffle_repeat(
         lambda: shard_records(imageid2mids.items()), seed=seed
     )
-    mapped = core.parallel_map(_pre, items)
+    mapped = core.parallel_map(_pre, enumerate(items))
     for batch in core.batched(mapped, settings.Nb):
         batch["proimages"] = core.from_0_1_to_m1_1(batch["proimages"])
         yield batch

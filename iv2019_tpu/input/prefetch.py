@@ -51,9 +51,14 @@ def _to_device(batch: dict, mesh) -> dict:
             shardable = (
                 v.ndim > 0 and v.shape[0] > 0 and v.shape[0] % local_shards == 0
             )
-            # rank>=3 only: images/labels are [N,H,W,...]; a [N,C] array
-            # must not have its class dim sharded as 'spatial'
-            spatial_ok = shardable and v.ndim > 2 and v.shape[1] % n_sp == 0
+            # images/labels are [N,H,W,...] (rank>=3); a [N,C] array must
+            # not have its class dim sharded as 'spatial', and neither may
+            # the padded box tensors bbox_coords (N,516,4) / bbox_cids —
+            # the only rank>=3 batch entries whose dim 1 is NOT height
+            spatial_ok = (
+                shardable and v.ndim > 2 and not k.startswith("bbox")
+                and v.shape[1] % n_sp == 0
+            )
             if not shardable and v.ndim > 0 and v.shape[0] > 0 and mesh.size > 1:
                 if pc > 1:
                     # replication needs identical values on every process; a

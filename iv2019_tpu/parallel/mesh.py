@@ -137,18 +137,27 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     rs = replicated_sharding(mesh)
     n_sp = mesh.shape.get(SPATIAL_AXIS, 1)
 
-    def pick(x):
+    def pick(path, x):
         shape = np.shape(x)
         if not shape or shape[0] == 0:
             return rs
-        # only rank>=3 arrays have a spatial dim 1 (images [N,H,W,3],
-        # labels [N,H,W(,C)]); a [N,C] array with divisible C must not get
-        # its class dim labeled 'spatial' (silent resharding every step)
-        if len(shape) >= 3 and shape[1] % n_sp == 0:
+        # only rank>=3 arrays whose dim 1 is image height shard spatially
+        # (images [N,H,W,3], labels [N,H,W(,C)]); a [N,C] array with
+        # divisible C and the padded box tensors bbox_coords (N,516,4)
+        # must not get dim 1 labeled 'spatial' (silent resharding every
+        # step). Box tensors are recognized by their batch key.
+        key = path[-1].key if path and hasattr(path[-1], "key") else ""
+        if (
+            len(shape) >= 3
+            and not str(key).startswith("bbox")
+            and shape[1] % n_sp == 0
+        ):
             return ims
         return bs
 
-    return jax.tree.map(lambda x: _put(x, pick(x)), batch)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: _put(x, pick(p, x)), batch
+    )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -23,7 +23,14 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["Taxonomy", "get_taxonomy", "OPEN_IMAGES_MID2CID", "NUM_WEAK_CLASSES"]
+__all__ = [
+    "Taxonomy",
+    "get_taxonomy",
+    "OPEN_IMAGES_MID2CID",
+    "OPEN_IMAGES_MID2CID_V1",
+    "V1_CID2V2_CID",
+    "NUM_WEAK_CLASSES",
+]
 
 # OpenImages v4 MID -> weak-label cid (15 classes, cid 14 = void).
 # reference input_subset_bboxes_v2.py:38-53
@@ -45,6 +52,33 @@ OPEN_IMAGES_MID2CID = {
     "void": 14,
 }
 NUM_WEAK_CLASSES = 15
+
+# Legacy v1 aggregation (reference input_subset_bboxes.py:37-52): all five
+# human MIDs collapse to one cid, traffic sign + stop sign merge; 10 classes
+# with cid 9 = void.
+OPEN_IMAGES_MID2CID_V1 = {
+    "/m/0199g": 0,  # bicycle
+    "/m/01bjv": 1,  # bus
+    "/m/0k4j": 2,  # car
+    "/m/04_sv": 3,  # motorcycle
+    "/m/07jdr": 4,  # train
+    "/m/07r04": 5,  # truck
+    "/m/01g317": 6,  # person
+    "/m/04yx4": 6,  # man
+    "/m/03bt1vf": 6,  # woman
+    "/m/01bl7v": 6,  # boy
+    "/m/05r655": 6,  # girl
+    "/m/015qff": 7,  # traffic light
+    "/m/01mqdt": 8,  # traffic sign
+    "/m/02pv19": 8,  # stop sign
+    "void": 9,
+}
+# Injection of the v1 10-class space into the v2 15-class space: each v1
+# class maps to its v2 representative (human -> person cid 6, merged signs ->
+# traffic-sign cid 12), so the 15-class loss/fusion tables apply unchanged —
+# by construction the v2 tables send every member of a v1 aggregate to the
+# same head cid (e.g. per_bbox_cids2l1_cids[6..10] are all 'human').
+V1_CID2V2_CID = np.asarray([0, 1, 2, 3, 4, 5, 6, 11, 12, 14], dtype=np.int32)
 
 
 def _a(x) -> np.ndarray:

@@ -228,8 +228,14 @@ def serve(
     plugin_path: Optional[str] = None,
     options: Optional[Sequence[str]] = None,
     timeout: float = 900.0,
+    input_dtype: str = "float32",
 ) -> dict:
-    """Run the C++ loader on a StableHLO module; returns the parsed report."""
+    """Run the C++ loader on a StableHLO module; returns the parsed report.
+
+    ``input_dtype='uint8'`` matches a module exported with
+    export_model ``wire_u8=True`` (same ``:u8`` shape suffix StreamServer
+    uses); feeding an f32 spec to a u8-signature module fails the
+    loader's argument check at warmup."""
     bin_path = build()
     if bin_path is None:
         raise RuntimeError("pjrt_serve binary unavailable (no toolchain/headers)")
@@ -238,9 +244,13 @@ def serve(
         raise RuntimeError("no PJRT plugin found (set PJRT_PLUGIN_PATH)")
     if options is None:
         options = default_options(plugin_path)
+    if input_dtype not in ("float32", "uint8"):
+        raise ValueError("input_dtype must be 'float32' or 'uint8'")
+    shape_arg = ",".join(str(int(d)) for d in input_shape)
+    if input_dtype == "uint8":
+        shape_arg += ":u8"
     cmd = [
-        bin_path, plugin_path, module_path,
-        ",".join(str(int(d)) for d in input_shape), str(iters), *options,
+        bin_path, plugin_path, module_path, shape_arg, str(iters), *options,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
     if proc.returncode != 0:

@@ -265,9 +265,21 @@ int main(int argc, char** argv) {
   // Executable cache: deserialize a previously-compiled executable if a
   // sidecar file exists (restart in seconds instead of minutes — the
   // flagship module takes 1.5-6 min to compile through the tunnel).
+  // The cache is CONTENT-keyed, not path-keyed: a 16-byte header (magic +
+  // FNV-1a of module text + compile options) rejects a sidecar left over
+  // from a different model exported to the same path — deserialization
+  // would succeed on such bytes and silently serve the old model.
   // Serializations are platform/version-specific, so every failure mode
   // (unsupported plugin, stale bytes) soft-falls back to a fresh compile.
   const std::string cache_path = std::string(module_path) + ".pjrt_exec";
+  static const char kCacheMagic[8] = {'I', 'V', 'E', 'X', 'E', 'C', '1', 0};
+  uint64_t cache_key = 1469598103934665603ULL;  // FNV-1a 64
+  for (const std::string* s : {&module_text, &copts}) {
+    for (unsigned char c : *s) {
+      cache_key ^= c;
+      cache_key *= 1099511628211ULL;
+    }
+  }
   PJRT_LoadedExecutable* exec = nullptr;
   if (g_api->PJRT_Executable_DeserializeAndLoad) {
     std::ifstream cf(cache_path, std::ios::binary);
@@ -275,25 +287,36 @@ int main(int argc, char** argv) {
       std::stringstream ss;
       ss << cf.rdbuf();
       std::string bytes = ss.str();
-      PJRT_Executable_DeserializeAndLoad_Args args;
-      std::memset(&args, 0, sizeof(args));
-      args.struct_size = PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
-      args.client = client;
-      args.serialized_executable = bytes.data();
-      args.serialized_executable_size = bytes.size();
-      auto t0 = std::chrono::steady_clock::now();
-      PJRT_Error* err = g_api->PJRT_Executable_DeserializeAndLoad(&args);
-      if (err) {
-        std::fprintf(stderr, "executable cache load failed (%s); recompiling\n",
-                     ErrorMessage(err).c_str());
-        FreeError(err);
+      uint64_t stored_key = 0;
+      if (bytes.size() > 16) std::memcpy(&stored_key, bytes.data() + 8, 8);
+      if (bytes.size() <= 16 ||
+          std::memcmp(bytes.data(), kCacheMagic, 8) != 0 ||
+          stored_key != cache_key) {
+        std::fprintf(stderr,
+                     "executable cache stale (module or compile options "
+                     "changed); recompiling\n");
       } else {
-        exec = args.loaded_executable;
-        std::fprintf(
-            stderr, "loaded cached executable (%zu bytes) in %.1f s\n",
-            bytes.size(),
-            std::chrono::duration<double>(
-                std::chrono::steady_clock::now() - t0).count());
+        PJRT_Executable_DeserializeAndLoad_Args args;
+        std::memset(&args, 0, sizeof(args));
+        args.struct_size = PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
+        args.client = client;
+        args.serialized_executable = bytes.data() + 16;
+        args.serialized_executable_size = bytes.size() - 16;
+        auto t0 = std::chrono::steady_clock::now();
+        PJRT_Error* err = g_api->PJRT_Executable_DeserializeAndLoad(&args);
+        if (err) {
+          std::fprintf(stderr,
+                       "executable cache load failed (%s); recompiling\n",
+                       ErrorMessage(err).c_str());
+          FreeError(err);
+        } else {
+          exec = args.loaded_executable;
+          std::fprintf(
+              stderr, "loaded cached executable (%zu bytes) in %.1f s\n",
+              bytes.size(),
+              std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - t0).count());
+        }
       }
     }
   }
@@ -344,6 +367,8 @@ int main(int argc, char** argv) {
         } else {
           std::ofstream out(cache_path + ".tmp",
                             std::ios::binary | std::ios::trunc);
+          out.write(kCacheMagic, 8);
+          out.write(reinterpret_cast<const char*>(&cache_key), 8);
           out.write(sargs.serialized_bytes,
                     static_cast<std::streamsize>(sargs.serialized_bytes_size));
           out.close();

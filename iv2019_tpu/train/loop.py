@@ -327,7 +327,10 @@ def train(
                 signal.signal(signal.SIGTERM, prev_sigterm)
             except ValueError:
                 pass
+        # and always flush: with async_checkpoints an exception mid-step
+        # would otherwise abandon the in-flight orbax write (the step-N
+        # checkpoint would never finalize) and leak the logger fds
+        logger.close()
+        ckpt.close()
 
-    logger.close()
-    ckpt.close()
     return state

@@ -211,6 +211,20 @@ class TestTrainedModelResolution:
         with pytest.raises(SystemExit, match="contradicts"):
             resolve_trained_model(settings_from_args(args, EVAL), argv)
 
+    def test_explicit_mismatch_equals_form(self, tmp_path):
+        import pytest
+
+        from iv2019_tpu.config import resolve_trained_model
+
+        log = self._trained_log(
+            tmp_path, name_feature_extractor="resnet_v1_101"
+        )
+        argv = [log, "10", CITYSCAPES_JSON,
+                "--name_feature_extractor=resnet_v1_50"]
+        args = build_argparser(EVAL).parse_args(argv)
+        with pytest.raises(SystemExit, match="contradicts"):
+            resolve_trained_model(settings_from_args(args, EVAL), argv)
+
     def test_no_settings_txt_keeps_cli_values(self, tmp_path):
         from iv2019_tpu.config import resolve_trained_model
 

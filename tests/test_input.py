@@ -170,6 +170,34 @@ class TestTfrecordPipeline:
         assert batch["proimages"].min() >= -1.0 and batch["proimages"].max() <= 1.0
         assert batch["rawimagespaths"][0].startswith("im")
 
+    def test_input_seed_reproducible_real_data(self, tfrecords):
+        """--input_seed is deterministic on the REAL pipeline too: shuffle
+        order and random crop offsets are derived per item (core.
+        per_item_rng_factory), so thread scheduling in parallel_map cannot
+        change the result (a shared RandomState would)."""
+        pd = load_problem_def(CITYSCAPES_JSON)
+        # aspect-preserving 'max' resize of 64x128 raw to a 32x96 target
+        # leaves slack in W -> the random crop offset actually matters
+        def batches(**kw):
+            s = tiny_settings(
+                tfrecords_path=tfrecords, preserve_aspect_ratio=True,
+                width_feature_extractor=96, **kw,
+            )
+            it = train_input(s, pd)
+            return [next(it) for _ in range(2)]
+
+        a = batches(input_seed=3)
+        b = batches(input_seed=3)
+        c = batches(input_seed=4)
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["proimages"], bb["proimages"])
+            np.testing.assert_array_equal(ba["prolabels"], bb["prolabels"])
+            assert ba["rawimagespaths"] == bb["rawimagespaths"]
+        assert any(
+            not np.array_equal(ba["proimages"], bc["proimages"])
+            for ba, bc in zip(a, c)
+        )
+
     def test_evaluate_input_from_tfrecords(self, tfrecords):
         s = tiny_settings(tfrecords_path=tfrecords, Nb=2)
         pd = load_problem_def(CITYSCAPES_JSON)

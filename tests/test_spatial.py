@@ -100,6 +100,24 @@ def test_prefetch_to_device_spatial_sharding():
     assert out["meta"] == ["a", "b"]
 
 
+def test_box_tensors_never_shard_spatially():
+    """bbox_coords (N, 516, 4) is rank 3 with a divisible dim 1, but its
+    dim 1 is the padded box count, not image height — it must shard on the
+    batch axis only (prefetch._to_device and mesh.shard_batch)."""
+    from iv2019_tpu.input.prefetch import _to_device
+    from iv2019_tpu.parallel.mesh import shard_batch
+
+    mesh = create_mesh(8, spatial_partitions=2)
+    batch = {
+        "bbox_coords": np.zeros((4, 516, 4), np.float32),
+        "bbox_cids": np.zeros((4, 516), np.int32),
+    }
+    for out in (_to_device(dict(batch), mesh), shard_batch(dict(batch), mesh)):
+        # batch axis sharded (4 -> 1 per data shard), box dim NOT sharded
+        assert out["bbox_coords"].addressable_shards[0].data.shape == (1, 516, 4)
+        assert out["bbox_cids"].addressable_shards[0].data.shape == (1, 516)
+
+
 def test_train_step_parity_data_vs_spatial():
     """One train step: ('data','spatial') mesh == 1-D data mesh, same batch."""
     n, h, w = 8, 32, 64

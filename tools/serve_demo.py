@@ -143,7 +143,8 @@ def _drive(args, paths, shape):
         return
 
     report = serving.serve(
-        paths["stablehlo"], shape, iters=args.iters
+        paths["stablehlo"], shape, iters=args.iters,
+        input_dtype="uint8" if args.u8 else "float32",
     )
     stderr = report.pop("stderr", "")
     print(stderr, file=sys.stderr)
