@@ -203,6 +203,13 @@ class Settings:
     eval_all_ckpts: bool = False
     Neval: int = 500
     replace_voids: bool = False
+    # test-time augmentation at evaluation (beyond reference): average
+    # hierarchically-factorized common-space probabilities over these input
+    # scales (and an optional horizontal flip) before the argmax — the
+    # standard segmentation multi-scale/flip ensemble, compiled as ONE XLA
+    # program (train/step._make_tta_eval_step)
+    eval_scales: tuple[float, ...] = (1.0,)
+    eval_flip: bool = False
     restore_emas: bool = False
     predict_dir: str = ""
     results_dir: Optional[str] = None
@@ -289,6 +296,16 @@ class Settings:
             raise NotImplementedError(
                 "Only resnet_v1_{50,101,152} feature extractors are "
                 "implemented."
+            )
+        if any(s <= 0 for s in self.eval_scales):
+            raise ValueError(f"eval_scales must be positive, got {self.eval_scales}")
+        if (self.eval_flip or tuple(self.eval_scales) != (1.0,)) and (
+            self.spatial_partitions > 1
+        ):
+            # rescaled inputs change the H sharding contract mid-graph
+            raise ValueError(
+                "eval_scales/eval_flip (TTA) does not compose with "
+                "spatial_partitions > 1; run TTA eval on the data mesh."
             )
         if self.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1.")
@@ -543,6 +560,13 @@ def _add_evaluate_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_all_ckpts", action="store_true")
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--evaluation_problem_def_path", type=str, default=None)
+    p.add_argument("--eval_scales", type=float, nargs="*", default=[1.0],
+                   help="test-time augmentation: average factorized "
+                        "probabilities over these input scales (e.g. "
+                        "0.75 1.0 1.25) before the argmax")
+    p.add_argument("--eval_flip", action="store_true",
+                   help="test-time augmentation: also average with the "
+                        "horizontally-flipped input")
     p.add_argument("--replace_voids", action="store_true")
     p.add_argument("--train_void_class", action="store_true")
     p.add_argument("--Nb", type=int, default=1)
@@ -673,7 +697,8 @@ def settings_from_args(args: argparse.Namespace, mode: str, **extra: Any) -> Set
     """Build Settings from parsed CLI args + programmatic extras."""
     field_names = {f.name for f in dataclasses.fields(Settings)}
     kw = {k: v for k, v in vars(args).items() if k in field_names and v is not None}
-    for k in ("learning_rate_boundaries", "learning_rate_values", "predict_keys"):
+    for k in ("learning_rate_boundaries", "learning_rate_values", "predict_keys",
+              "eval_scales"):
         if k in kw and isinstance(kw[k], list):
             kw[k] = tuple(kw[k])
     if isinstance(kw.get("augmentations"), str):

@@ -32,7 +32,45 @@ from iv2019_tpu.ops.resize import resize_bilinear, resize_bilinear_mxu
 from iv2019_tpu.ops.segment_ops import gather_cids
 from iv2019_tpu.problem.taxonomy import Taxonomy, get_taxonomy
 
-__all__ = ["HierarchicalSegmentationModel", "build_model"]
+__all__ = [
+    "HierarchicalSegmentationModel",
+    "build_model",
+    "hierarchical_common_probabilities",
+]
+
+
+def hierarchical_common_probabilities(preds, tax: Taxonomy) -> jnp.ndarray:
+    """Factorized per-pixel probabilities over the common label space.
+
+    The probabilistic counterpart of the argmax decision fusion below
+    (reference resnet50_extended_model_hierarchical.py:95-117 defines only
+    the argmax form): P(common c) collects the L1 mass of every
+    non-metaclass L1 class mapped to c, plus the chain-rule terms
+    P(L1=vehicle) * P(vehicle-head subclass -> c) and
+    P(L1=human) * P(human-head subclass -> c). Sums to 1 over the common
+    space by construction. Consumed by test-time-augmentation evaluation
+    (train/step.make_eval_step), where averaging over scales/flips needs a
+    single distribution per pixel — a capability beyond the reference.
+    """
+    import numpy as np
+
+    from iv2019_tpu.ops.segment_ops import segment_sum_channels
+
+    l1 = preds["l1_probabilities"].astype(jnp.float32)
+    veh = preds["l2_vehicle_probabilities"].astype(jnp.float32)
+    hum = preds["l2_human_probabilities"].astype(jnp.float32)
+    keep = np.ones(tax.num_l1_classes, np.float32)
+    keep[tax.cid_l1_vehicle] = 0.0
+    keep[tax.cid_l1_human] = 0.0
+    n = tax.num_common_classes
+    base = segment_sum_channels(l1 * keep, tax.l1_cids2common_cids, n)
+    p_veh = segment_sum_channels(veh, tax.l2_vehicle_cids2common_cids, n)
+    p_hum = segment_sum_channels(hum, tax.l2_human_cids2common_cids, n)
+    return (
+        base
+        + l1[..., tax.cid_l1_vehicle : tax.cid_l1_vehicle + 1] * p_veh
+        + l1[..., tax.cid_l1_human : tax.cid_l1_human + 1] * p_hum
+    )
 
 
 class PSPModule(nn.Module):

@@ -448,6 +448,14 @@ def make_eval_step(settings: Settings, model=None, tcids2ecids=None) -> Callable
     # define_estimator_hierarchical.py:516-522; we do it properly.)
     l1_cids2ecids = [tcids2ecids[c] for c in tax.l1_cids2common_cids]
 
+    tta_scales = tuple(getattr(settings, "eval_scales", (1.0,)) or (1.0,))
+    tta_flip = bool(getattr(settings, "eval_flip", False))
+    if tta_flip or tta_scales != (1.0,):
+        return _make_tta_eval_step(
+            settings, model, tax, tcids2ecids, num_eval_classes,
+            do_replace_voids, tta_scales, tta_flip,
+        )
+
     def eval_step(params, batch_stats, images, prolabels):
         preds, _ = forward(model, params, batch_stats, images, False)
         decs = gather_cids(tcids2ecids, preds["decisions"])
@@ -457,6 +465,56 @@ def make_eval_step(settings: Settings, model=None, tcids2ecids=None) -> Callable
             if pad > 0:
                 l1_probs = jnp.pad(l1_probs, ((0, 0), (0, 0), (0, 0), (0, pad)))
             decs = _replace_void_decisions(l1_probs, decs)
+        label_hw = prolabels.shape[1:3]
+        decs = resize_nearest(decs, label_hw, align_corners=True)
+        return confusion_matrix(prolabels, decs, num_eval_classes)
+
+    return tuned_jit(eval_step)
+
+
+def _make_tta_eval_step(
+    settings, model, tax, tcids2ecids, num_eval_classes,
+    do_replace_voids, scales, flip,
+):
+    """Test-time-augmentation EVAL graph (beyond reference).
+
+    Averages hierarchically-factorized common-space probabilities
+    (models/model.hierarchical_common_probabilities) over input scales and
+    an optional horizontal flip, remaps the averaged distribution to the
+    evaluation label space (probability summation — the same remap the
+    base eval graph applies, define_estimator_hierarchical.py:490-528),
+    and takes the argmax there. One traced program: every scale is a
+    static shape, so the whole ensemble compiles into one XLA executable.
+    """
+    from iv2019_tpu.models.model import hierarchical_common_probabilities
+    from iv2019_tpu.ops.resize import resize_bilinear_mxu
+
+    stride = settings.stride_feature_extractor
+
+    def eval_step(params, batch_stats, images, prolabels):
+        h, w = images.shape[1], images.shape[2]
+        acc = None
+        for s in scales:
+            sh = max(int(round(h * s / stride)) * stride, stride)
+            sw = max(int(round(w * s / stride)) * stride, stride)
+            for do_flip in (False, True) if flip else (False,):
+                im = images[:, :, ::-1, :] if do_flip else images
+                if (sh, sw) != (h, w):
+                    im = resize_bilinear_mxu(im, (sh, sw), align_corners=True)
+                preds, _ = forward(model, params, batch_stats, im, False)
+                p = hierarchical_common_probabilities(preds, tax)
+                if do_flip:
+                    p = p[:, :, ::-1, :]
+                if (sh, sw) != (h, w):
+                    p = resize_bilinear_mxu(p, (h, w), align_corners=True)
+                acc = p if acc is None else acc + p
+        probs_e = remap_probabilities(acc, tcids2ecids)
+        pad = num_eval_classes - probs_e.shape[-1]
+        if pad > 0:
+            probs_e = jnp.pad(probs_e, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        decs = jnp.argmax(probs_e, axis=-1).astype(jnp.int32)
+        if do_replace_voids:
+            decs = _replace_void_decisions(probs_e, decs)
         label_hw = prolabels.shape[1:3]
         decs = resize_nearest(decs, label_hw, align_corners=True)
         return confusion_matrix(prolabels, decs, num_eval_classes)
