@@ -210,6 +210,17 @@ class Settings:
     # program (train/step._make_tta_eval_step)
     eval_scales: tuple[float, ...] = (1.0,)
     eval_flip: bool = False
+    # native-resolution evaluation (beyond reference): resize eval inputs +
+    # labels to this size instead of (hf, wf). The model is fully
+    # convolutional so the plain eval graph handles any static size; with
+    # --sliding_window the image is instead tiled with (hf, wf) windows at
+    # window_overlap overlap and the factorized common-space probabilities
+    # are stitched on a canvas (train/step._make_window_eval_step) — the
+    # standard crop-of-training-size protocol, one XLA program, all shapes
+    # static.
+    eval_size: Optional[tuple[int, int]] = None
+    sliding_window: bool = False
+    window_overlap: float = 0.5
     restore_emas: bool = False
     predict_dir: str = ""
     results_dir: Optional[str] = None
@@ -307,6 +318,39 @@ class Settings:
                 "eval_scales/eval_flip (TTA) does not compose with "
                 "spatial_partitions > 1; run TTA eval on the data mesh."
             )
+        if not 0.0 <= self.window_overlap < 1.0:
+            raise ValueError(
+                f"window_overlap must be in [0, 1), got {self.window_overlap}"
+            )
+        if self.eval_size is not None:
+            eh, ew = self.eval_size
+            if eh <= 0 or ew <= 0:
+                raise ValueError(f"eval_size must be positive, got {self.eval_size}")
+        if self.sliding_window:
+            if self.eval_size is None:
+                raise ValueError(
+                    "--sliding_window needs --eval_size H W (the native "
+                    "resolution to tile with (hf, wf) windows)."
+                )
+            eh, ew = self.eval_size
+            if eh < self.height_feature_extractor or ew < self.width_feature_extractor:
+                raise ValueError(
+                    f"eval_size {self.eval_size} must be >= the window size "
+                    f"({self.height_feature_extractor}, "
+                    f"{self.width_feature_extractor})."
+                )
+            if self.eval_flip or tuple(self.eval_scales) != (1.0,):
+                raise ValueError(
+                    "sliding_window does not compose with eval_scales/"
+                    "eval_flip yet; pick one ensemble."
+                )
+            if self.spatial_partitions > 1:
+                # dynamic window slices across a sharded H axis would insert
+                # halo collectives per window; run windows on the data mesh
+                raise ValueError(
+                    "sliding_window does not compose with "
+                    "spatial_partitions > 1."
+                )
         if self.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1.")
         if self.grad_accum_steps > 1:
@@ -567,6 +611,18 @@ def _add_evaluate_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_flip", action="store_true",
                    help="test-time augmentation: also average with the "
                         "horizontally-flipped input")
+    p.add_argument("--eval_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="evaluate at this resolution instead of resizing "
+                        "inputs to (hf, wf); the network is fully "
+                        "convolutional so any static size works")
+    p.add_argument("--sliding_window", action="store_true",
+                   help="tile the eval_size image with (hf, wf) windows at "
+                        "--window_overlap overlap and stitch factorized "
+                        "probabilities (crop-of-training-size protocol)")
+    p.add_argument("--window_overlap", type=float, default=0.5,
+                   help="fractional overlap between adjacent sliding "
+                        "windows (default 0.5)")
     p.add_argument("--replace_voids", action="store_true")
     p.add_argument("--train_void_class", action="store_true")
     p.add_argument("--Nb", type=int, default=1)
@@ -698,7 +754,7 @@ def settings_from_args(args: argparse.Namespace, mode: str, **extra: Any) -> Set
     field_names = {f.name for f in dataclasses.fields(Settings)}
     kw = {k: v for k, v in vars(args).items() if k in field_names and v is not None}
     for k in ("learning_rate_boundaries", "learning_rate_values", "predict_keys",
-              "eval_scales"):
+              "eval_scales", "eval_size"):
         if k in kw and isinstance(kw[k], list):
             kw[k] = tuple(kw[k])
     if isinstance(kw.get("augmentations"), str):

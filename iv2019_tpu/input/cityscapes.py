@@ -107,7 +107,11 @@ def evaluate_input(
 
     path = tfrecords_path or settings.tfrecords_path
     lut = problem_def.lids2cids_voids_replaced()
-    hw = (settings.height_feature_extractor, settings.width_feature_extractor)
+    # --eval_size evaluates at native/custom resolution (beyond reference);
+    # default matches the reference's resize-to-(hf, wf) eval pipeline
+    hw = settings.eval_size or (
+        settings.height_feature_extractor, settings.width_feature_extractor
+    )
 
     def _pre(record: bytes) -> dict:
         image, label, im_path, la_path = _parse_record(record)
@@ -151,7 +155,9 @@ def synthetic_eval_batches(
     settings: Settings, problem_def: ProblemDef, seed: int = 0, num_batches: int = 8
 ) -> Iterator[dict]:
     rng = np.random.RandomState(seed)
-    h, w = settings.height_feature_extractor, settings.width_feature_extractor
+    h, w = settings.eval_size or (
+        settings.height_feature_extractor, settings.width_feature_extractor
+    )
     n = settings.Nb
     nc = problem_def.output_num_classes(settings.train_void_class)
     for _ in range(num_batches):

@@ -448,6 +448,12 @@ def make_eval_step(settings: Settings, model=None, tcids2ecids=None) -> Callable
     # define_estimator_hierarchical.py:516-522; we do it properly.)
     l1_cids2ecids = [tcids2ecids[c] for c in tax.l1_cids2common_cids]
 
+    if getattr(settings, "sliding_window", False):
+        return _make_window_eval_step(
+            settings, model, tax, tcids2ecids, num_eval_classes,
+            do_replace_voids,
+        )
+
     tta_scales = tuple(getattr(settings, "eval_scales", (1.0,)) or (1.0,))
     tta_flip = bool(getattr(settings, "eval_flip", False))
     if tta_flip or tta_scales != (1.0,):
@@ -509,6 +515,88 @@ def _make_tta_eval_step(
                     p = resize_bilinear_mxu(p, (h, w), align_corners=True)
                 acc = p if acc is None else acc + p
         probs_e = remap_probabilities(acc, tcids2ecids)
+        pad = num_eval_classes - probs_e.shape[-1]
+        if pad > 0:
+            probs_e = jnp.pad(probs_e, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        decs = jnp.argmax(probs_e, axis=-1).astype(jnp.int32)
+        if do_replace_voids:
+            decs = _replace_void_decisions(probs_e, decs)
+        label_hw = prolabels.shape[1:3]
+        decs = resize_nearest(decs, label_hw, align_corners=True)
+        return confusion_matrix(prolabels, decs, num_eval_classes)
+
+    return tuned_jit(eval_step)
+
+
+def window_origins(full: int, win: int, overlap: float) -> list[int]:
+    """Static sliding-window start offsets covering [0, full).
+
+    Windows of size ``win`` advance by ``win * (1 - overlap)``; the last
+    window is clamped flush to the edge so coverage is exact. All values are
+    Python ints computed at trace time — the compiled program sees only
+    static shapes.
+    """
+    if win >= full:
+        return [0]
+    stride = max(int(round(win * (1.0 - overlap))), 1)
+    origins = list(range(0, full - win + 1, stride))
+    if origins[-1] != full - win:
+        origins.append(full - win)
+    return origins
+
+
+def _make_window_eval_step(
+    settings, model, tax, tcids2ecids, num_eval_classes, do_replace_voids
+):
+    """Sliding-window EVAL graph (beyond reference).
+
+    Evaluates a native-resolution image (``eval_size``) by tiling it with
+    windows of the training size (hf, wf) at ``window_overlap`` overlap —
+    the standard crop-of-training-size protocol. Each window's
+    hierarchically-factorized common-space probabilities
+    (models/model.hierarchical_common_probabilities) are accumulated on a
+    probability canvas with a lax.scan over static window origins (the
+    per-pixel window count is a trace-time numpy constant), then the
+    averaged distribution is remapped to the evaluation label space and
+    argmaxed — exactly the base eval graph's remap
+    (define_estimator_hierarchical.py:490-528). One XLA program: the window
+    shape is static, so the forward compiles once and is reused nw times by
+    the scan.
+    """
+    import numpy as np
+
+    from iv2019_tpu.models.model import hierarchical_common_probabilities
+
+    wh = settings.height_feature_extractor
+    ww = settings.width_feature_extractor
+    eh, ew = settings.eval_size
+    oys = window_origins(eh, wh, settings.window_overlap)
+    oxs = window_origins(ew, ww, settings.window_overlap)
+    origins = np.array([(y, x) for y in oys for x in oxs], np.int32)
+    nc = tax.num_common_classes
+    # per-pixel window multiplicity is origin-determined: a static divisor
+    count = np.zeros((eh, ew, 1), np.float32)
+    for oy, ox in origins:
+        count[oy : oy + wh, ox : ox + ww] += 1.0
+
+    def eval_step(params, batch_stats, images, prolabels):
+        b, _, _, ch = images.shape
+        canvas = jnp.zeros((b, eh, ew, nc), jnp.float32)
+
+        def body(canvas, o):
+            oy, ox = o[0], o[1]
+            win = jax.lax.dynamic_slice(images, (0, oy, ox, 0), (b, wh, ww, ch))
+            preds, _ = forward(model, params, batch_stats, win, False)
+            p = hierarchical_common_probabilities(preds, tax)
+            cur = jax.lax.dynamic_slice(canvas, (0, oy, ox, 0), (b, wh, ww, nc))
+            return (
+                jax.lax.dynamic_update_slice(canvas, cur + p, (0, oy, ox, 0)),
+                None,
+            )
+
+        canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(origins))
+        probs = canvas / jnp.asarray(count)
+        probs_e = remap_probabilities(probs, tcids2ecids)
         pad = num_eval_classes - probs_e.shape[-1]
         if pad > 0:
             probs_e = jnp.pad(probs_e, ((0, 0), (0, 0), (0, 0), (0, pad)))

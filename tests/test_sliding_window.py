@@ -1,0 +1,185 @@
+"""Sliding-window (native-resolution) evaluation — a beyond-reference
+capability: tile an ``eval_size`` image with (hf, wf) windows, stitch the
+hierarchically-factorized common-space probabilities on a canvas, argmax in
+the evaluation label space (train/step._make_window_eval_step).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iv2019_tpu.config import build_argparser, settings_from_args
+from iv2019_tpu.models.model import hierarchical_common_probabilities
+from iv2019_tpu.ops.confusion import confusion_matrix
+from iv2019_tpu.problem.taxonomy import get_taxonomy
+from iv2019_tpu.train.step import make_eval_step, window_origins
+
+from helpers import tiny_model, tiny_settings
+
+
+def test_window_origins_cover_and_clamp():
+    # exact tiling at overlap 0
+    assert window_origins(64, 32, 0.0) == [0, 32]
+    # 50% overlap
+    assert window_origins(64, 32, 0.5) == [0, 16, 32]
+    # non-divisible extent: last window clamps flush to the edge
+    assert window_origins(70, 32, 0.5) == [0, 16, 32, 38]
+    # window >= image: single window
+    assert window_origins(32, 32, 0.5) == [0]
+    assert window_origins(20, 32, 0.5) == [0]
+    # every pixel covered for a fuzz of configurations
+    for full, win, ov in [(100, 32, 0.3), (57, 16, 0.5), (128, 64, 0.75)]:
+        cov = np.zeros(full)
+        for o in window_origins(full, win, ov):
+            assert 0 <= o <= full - win
+            cov[o : o + win] += 1
+        assert (cov > 0).all()
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="sliding_window needs"):
+        tiny_settings(sliding_window=True)
+    with pytest.raises(ValueError, match="must be >= the window size"):
+        tiny_settings(sliding_window=True, eval_size=(16, 16))
+    with pytest.raises(ValueError, match="window_overlap"):
+        tiny_settings(window_overlap=1.0)
+    with pytest.raises(ValueError, match="does not compose"):
+        tiny_settings(
+            sliding_window=True, eval_size=(64, 128), eval_flip=True
+        )
+    with pytest.raises(ValueError, match="spatial_partitions"):
+        tiny_settings(
+            sliding_window=True, eval_size=(64, 128), spatial_partitions=2
+        )
+    # eval_size alone (plain native-resolution eval) is valid
+    s = tiny_settings(eval_size=(64, 128))
+    assert s.eval_size == (64, 128)
+
+
+def test_cli_flags():
+    p = build_argparser("eval")
+    args = p.parse_args(
+        ["log", "16", "prob.json", "--eval_size", "64", "128",
+         "--sliding_window", "--window_overlap", "0.25"]
+    )
+    s = settings_from_args(args, "eval")
+    assert s.eval_size == (64, 128)
+    assert s.sliding_window is True
+    assert s.window_overlap == 0.25
+
+
+@pytest.fixture(scope="module")
+def tiny_eval():
+    settings = tiny_settings()
+    model = tiny_model(settings, train=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3), jnp.float32)
+    )
+    return settings, model, variables
+
+
+def _probs(model, variables, images, tax):
+    preds = model.apply(variables, images)
+    return hierarchical_common_probabilities(preds, tax)
+
+
+def test_single_window_matches_direct_forward(tiny_eval):
+    """eval_size == window size -> one window; the stitched result must equal
+    the direct factorized-probability argmax on the whole image."""
+    settings, model, variables = tiny_eval
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    s = settings.replace(mode="eval", sliding_window=True, eval_size=(32, 64))
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (2, 32, 64)).astype(np.int32))
+    cm = fn(variables["params"], variables["batch_stats"], images, labels)
+
+    decs = jnp.argmax(_probs(model, variables, images, tax), -1).astype(jnp.int32)
+    cm_manual = confusion_matrix(labels, decs, 20)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_manual))
+
+
+def test_disjoint_windows_match_per_quadrant_forward(tiny_eval):
+    """overlap=0 with an exactly-tiling eval_size: each quadrant's stitched
+    probabilities equal an independent forward of that quadrant."""
+    settings, model, variables = tiny_eval
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    s = settings.replace(
+        mode="eval", sliding_window=True, eval_size=(64, 128),
+        window_overlap=0.0,
+    )
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 64, 128, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (1, 64, 128)).astype(np.int32))
+    cm = fn(variables["params"], variables["batch_stats"], images, labels)
+
+    # stitch manually from 4 disjoint window forwards
+    decs = np.zeros((1, 64, 128), np.int32)
+    for oy in (0, 32):
+        for ox in (0, 64):
+            win = images[:, oy : oy + 32, ox : ox + 64, :]
+            p = _probs(model, variables, win, tax)
+            decs[:, oy : oy + 32, ox : ox + 64] = np.asarray(
+                jnp.argmax(p, -1)
+            )
+    cm_manual = confusion_matrix(labels, jnp.asarray(decs), 20)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_manual))
+
+
+def test_overlapping_windows_average_probabilities(tiny_eval):
+    """50% overlap: a pixel covered by two windows must carry the average of
+    both windows' distributions (checked via the confusion-matrix decisions
+    of a manually-stitched canvas)."""
+    settings, model, variables = tiny_eval
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    s = settings.replace(
+        mode="eval", sliding_window=True, eval_size=(32, 96),
+        window_overlap=0.5,
+    )
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 32, 96, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (1, 32, 96)).astype(np.int32))
+    cm = fn(variables["params"], variables["batch_stats"], images, labels)
+
+    # width-64 windows over a 96-wide image at 50% overlap -> origins 0, 32
+    canvas = np.zeros((1, 32, 96, tax.num_common_classes), np.float32)
+    count = np.zeros((1, 32, 96, 1), np.float32)
+    for ox in (0, 32):
+        win = images[:, :, ox : ox + 64, :]
+        canvas[:, :, ox : ox + 64] += np.asarray(
+            _probs(model, variables, win, tax)
+        )
+        count[:, :, ox : ox + 64] += 1.0
+    decs = jnp.asarray(np.argmax(canvas / count, -1).astype(np.int32))
+    cm_manual = confusion_matrix(labels, decs, 20)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_manual))
+
+
+def test_eval_size_plain_native_resolution(tiny_eval):
+    """eval_size without sliding_window: the base eval graph runs the fully-
+    convolutional forward at the larger size directly."""
+    settings, model, variables = tiny_eval
+    s = settings.replace(mode="eval", eval_size=(64, 128))
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    images = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    labels = jnp.zeros((1, 64, 128), jnp.int32)
+    cm = fn(variables["params"], variables["batch_stats"], images, labels)
+    assert cm.shape == (20, 20)
+    assert int(np.asarray(cm).sum()) == 64 * 128
+
+
+def test_synthetic_eval_batches_honor_eval_size():
+    from iv2019_tpu.input.cityscapes import synthetic_eval_batches
+    from iv2019_tpu.problem.problem_def import load_problem_def
+
+    s = tiny_settings(eval_size=(64, 128), Nb=2)
+    pd = load_problem_def(
+        "iv2019_tpu/problem_definitions/cityscapes/problem01.json"
+    )
+    batch = next(iter(synthetic_eval_batches(s, pd)))
+    assert batch["proimages"].shape == (2, 64, 128, 3)
+    assert batch["prolabels"].shape == (2, 64, 128)
