@@ -339,11 +339,6 @@ class Settings:
                     f"({self.height_feature_extractor}, "
                     f"{self.width_feature_extractor})."
                 )
-            if self.eval_flip or tuple(self.eval_scales) != (1.0,):
-                raise ValueError(
-                    "sliding_window does not compose with eval_scales/"
-                    "eval_flip yet; pick one ensemble."
-                )
             if self.spatial_partitions > 1:
                 # dynamic window slices across a sharded H axis would insert
                 # halo collectives per window; run windows on the data mesh

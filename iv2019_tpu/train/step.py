@@ -562,41 +562,78 @@ def _make_window_eval_step(
     (define_estimator_hierarchical.py:490-528). One XLA program: the window
     shape is static, so the forward compiles once and is reused nw times by
     the scan.
+
+    Composes with multi-scale / flip TTA (``eval_scales`` / ``eval_flip``):
+    each ensemble member rescales the full image (clamped to at least the
+    window size), tiles + stitches its own canvas over its own static
+    origins, resizes the averaged canvas back to ``eval_size``, and the
+    members' distributions are averaged before the label-space remap —
+    the standard multi-scale sliding-window protocol, still one traced
+    XLA program.
     """
     import numpy as np
 
     from iv2019_tpu.models.model import hierarchical_common_probabilities
+    from iv2019_tpu.ops.resize import resize_bilinear_mxu
 
     wh = settings.height_feature_extractor
     ww = settings.width_feature_extractor
     eh, ew = settings.eval_size
-    oys = window_origins(eh, wh, settings.window_overlap)
-    oxs = window_origins(ew, ww, settings.window_overlap)
-    origins = np.array([(y, x) for y in oys for x in oxs], np.int32)
     nc = tax.num_common_classes
-    # per-pixel window multiplicity is origin-determined: a static divisor
-    count = np.zeros((eh, ew, 1), np.float32)
-    for oy, ox in origins:
-        count[oy : oy + wh, ox : ox + ww] += 1.0
+    stride = settings.stride_feature_extractor
+    scales = tuple(getattr(settings, "eval_scales", (1.0,)) or (1.0,))
+    flip = bool(getattr(settings, "eval_flip", False))
+
+    # per-scale static tiling plans: (sh, sw, origins, count)
+    plans = []
+    for s in scales:
+        sh = max(int(round(eh * s / stride)) * stride, wh)
+        sw = max(int(round(ew * s / stride)) * stride, ww)
+        oys = window_origins(sh, wh, settings.window_overlap)
+        oxs = window_origins(sw, ww, settings.window_overlap)
+        origins = np.array([(y, x) for y in oys for x in oxs], np.int32)
+        # per-pixel window multiplicity is origin-determined: a static
+        # divisor
+        count = np.zeros((sh, sw, 1), np.float32)
+        for oy, ox in origins:
+            count[oy : oy + wh, ox : ox + ww] += 1.0
+        plans.append((sh, sw, origins, count))
 
     def eval_step(params, batch_stats, images, prolabels):
         b, _, _, ch = images.shape
-        canvas = jnp.zeros((b, eh, ew, nc), jnp.float32)
 
-        def body(canvas, o):
-            oy, ox = o[0], o[1]
-            win = jax.lax.dynamic_slice(images, (0, oy, ox, 0), (b, wh, ww, ch))
-            preds, _ = forward(model, params, batch_stats, win, False)
-            p = hierarchical_common_probabilities(preds, tax)
-            cur = jax.lax.dynamic_slice(canvas, (0, oy, ox, 0), (b, wh, ww, nc))
-            return (
-                jax.lax.dynamic_update_slice(canvas, cur + p, (0, oy, ox, 0)),
-                None,
-            )
+        def stitch(im, sh, sw, origins, count):
+            canvas = jnp.zeros((b, sh, sw, nc), jnp.float32)
 
-        canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(origins))
-        probs = canvas / jnp.asarray(count)
-        probs_e = remap_probabilities(probs, tcids2ecids)
+            def body(canvas, o):
+                oy, ox = o[0], o[1]
+                win = jax.lax.dynamic_slice(im, (0, oy, ox, 0), (b, wh, ww, ch))
+                preds, _ = forward(model, params, batch_stats, win, False)
+                p = hierarchical_common_probabilities(preds, tax)
+                cur = jax.lax.dynamic_slice(
+                    canvas, (0, oy, ox, 0), (b, wh, ww, nc)
+                )
+                return (
+                    jax.lax.dynamic_update_slice(canvas, cur + p, (0, oy, ox, 0)),
+                    None,
+                )
+
+            canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(origins))
+            return canvas / jnp.asarray(count)
+
+        acc = None
+        for sh, sw, origins, count in plans:
+            for do_flip in (False, True) if flip else (False,):
+                im = images[:, :, ::-1, :] if do_flip else images
+                if (sh, sw) != (eh, ew):
+                    im = resize_bilinear_mxu(im, (sh, sw), align_corners=True)
+                p = stitch(im, sh, sw, origins, count)
+                if do_flip:
+                    p = p[:, :, ::-1, :]
+                if (sh, sw) != (eh, ew):
+                    p = resize_bilinear_mxu(p, (eh, ew), align_corners=True)
+                acc = p if acc is None else acc + p
+        probs_e = remap_probabilities(acc, tcids2ecids)
         pad = num_eval_classes - probs_e.shape[-1]
         if pad > 0:
             probs_e = jnp.pad(probs_e, ((0, 0), (0, 0), (0, 0), (0, pad)))

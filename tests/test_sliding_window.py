@@ -44,10 +44,6 @@ def test_validation():
         tiny_settings(sliding_window=True, eval_size=(16, 16))
     with pytest.raises(ValueError, match="window_overlap"):
         tiny_settings(window_overlap=1.0)
-    with pytest.raises(ValueError, match="does not compose"):
-        tiny_settings(
-            sliding_window=True, eval_size=(64, 128), eval_flip=True
-        )
     with pytest.raises(ValueError, match="spatial_partitions"):
         tiny_settings(
             sliding_window=True, eval_size=(64, 128), spatial_partitions=2
@@ -155,6 +151,73 @@ def test_overlapping_windows_average_probabilities(tiny_eval):
         )
         count[:, :, ox : ox + 64] += 1.0
     decs = jnp.asarray(np.argmax(canvas / count, -1).astype(np.int32))
+    cm_manual = confusion_matrix(labels, decs, 20)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_manual))
+
+
+def test_sliding_window_composes_with_flip(tiny_eval):
+    """eval_size == window size + eval_flip: the stitched ensemble must equal
+    the average of the direct and mirrored forwards' distributions."""
+    settings, model, variables = tiny_eval
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    s = settings.replace(
+        mode="eval", sliding_window=True, eval_size=(32, 64), eval_flip=True
+    )
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (2, 32, 64)).astype(np.int32))
+    cm = fn(variables["params"], variables["batch_stats"], images, labels)
+
+    p = _probs(model, variables, images, tax)
+    pf = _probs(model, variables, images[:, :, ::-1, :], tax)[:, :, ::-1, :]
+    decs = jnp.argmax(p + pf, -1).astype(jnp.int32)
+    cm_manual = confusion_matrix(labels, decs, 20)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_manual))
+
+
+def test_sliding_window_composes_with_scales(tiny_eval):
+    """Multi-scale sliding window: each scale tiles its own rescaled image
+    (clamped to at least the window size), the canvases are resized back to
+    eval_size and averaged."""
+    from iv2019_tpu.ops.resize import resize_bilinear_mxu
+    from iv2019_tpu.train.step import window_origins
+
+    settings, model, variables = tiny_eval
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    s = settings.replace(
+        mode="eval", sliding_window=True, eval_size=(32, 96),
+        window_overlap=0.0, eval_scales=(0.5, 1.0),
+    )
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    rng = np.random.RandomState(4)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 32, 96, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (1, 32, 96)).astype(np.int32))
+    cm = fn(variables["params"], variables["batch_stats"], images, labels)
+
+    # manual ensemble: stride=8, window (32, 64)
+    acc = np.zeros((1, 32, 96, tax.num_common_classes), np.float32)
+    for sc in (0.5, 1.0):
+        sh = max(int(round(32 * sc / 8)) * 8, 32)
+        sw = max(int(round(96 * sc / 8)) * 8, 64)
+        im = (
+            resize_bilinear_mxu(images, (sh, sw), align_corners=True)
+            if (sh, sw) != (32, 96) else images
+        )
+        canvas = np.zeros((1, sh, sw, tax.num_common_classes), np.float32)
+        count = np.zeros((1, sh, sw, 1), np.float32)
+        for oy in window_origins(sh, 32, 0.0):
+            for ox in window_origins(sw, 64, 0.0):
+                win = im[:, oy : oy + 32, ox : ox + 64, :]
+                canvas[:, oy : oy + 32, ox : ox + 64] += np.asarray(
+                    _probs(model, variables, win, tax)
+                )
+                count[:, oy : oy + 32, ox : ox + 64] += 1.0
+        p = jnp.asarray(canvas / count)
+        if (sh, sw) != (32, 96):
+            p = resize_bilinear_mxu(p, (32, 96), align_corners=True)
+        acc += np.asarray(p)
+    decs = jnp.asarray(np.argmax(acc, -1).astype(np.int32))
     cm_manual = confusion_matrix(labels, decs, 20)
     np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_manual))
 
