@@ -589,6 +589,31 @@ def _add_inference_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--export_overlapped_color_decisions", action="store_true")
     p.add_argument("--export_lids_images", action="store_true")
     p.add_argument("--preserve_aspect_ratio", action="store_true")
+    _add_tta_arguments(p)
+
+
+def _add_tta_arguments(p: argparse.ArgumentParser) -> None:
+    """Inference-time ensembling / native-resolution flags (beyond
+    reference), shared by evaluate and predict."""
+    p.add_argument("--eval_scales", type=float, nargs="*", default=[1.0],
+                   help="test-time augmentation: average factorized "
+                        "probabilities over these input scales (e.g. "
+                        "0.75 1.0 1.25) before the argmax")
+    p.add_argument("--eval_flip", action="store_true",
+                   help="test-time augmentation: also average with the "
+                        "horizontally-flipped input")
+    p.add_argument("--eval_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="run inference at this resolution instead of "
+                        "resizing inputs to (hf, wf); the network is fully "
+                        "convolutional so any static size works")
+    p.add_argument("--sliding_window", action="store_true",
+                   help="tile the eval_size image with (hf, wf) windows at "
+                        "--window_overlap overlap and stitch probabilities "
+                        "(crop-of-training-size protocol)")
+    p.add_argument("--window_overlap", type=float, default=0.5,
+                   help="fractional overlap between adjacent sliding "
+                        "windows (default 0.5)")
 
 
 def _add_evaluate_arguments(p: argparse.ArgumentParser) -> None:
@@ -599,25 +624,7 @@ def _add_evaluate_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_all_ckpts", action="store_true")
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--evaluation_problem_def_path", type=str, default=None)
-    p.add_argument("--eval_scales", type=float, nargs="*", default=[1.0],
-                   help="test-time augmentation: average factorized "
-                        "probabilities over these input scales (e.g. "
-                        "0.75 1.0 1.25) before the argmax")
-    p.add_argument("--eval_flip", action="store_true",
-                   help="test-time augmentation: also average with the "
-                        "horizontally-flipped input")
-    p.add_argument("--eval_size", type=int, nargs=2, default=None,
-                   metavar=("H", "W"),
-                   help="evaluate at this resolution instead of resizing "
-                        "inputs to (hf, wf); the network is fully "
-                        "convolutional so any static size works")
-    p.add_argument("--sliding_window", action="store_true",
-                   help="tile the eval_size image with (hf, wf) windows at "
-                        "--window_overlap overlap and stitch factorized "
-                        "probabilities (crop-of-training-size protocol)")
-    p.add_argument("--window_overlap", type=float, default=0.5,
-                   help="fractional overlap between adjacent sliding "
-                        "windows (default 0.5)")
+    _add_tta_arguments(p)
     p.add_argument("--replace_voids", action="store_true")
     p.add_argument("--train_void_class", action="store_true")
     p.add_argument("--Nb", type=int, default=1)

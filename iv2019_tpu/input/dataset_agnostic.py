@@ -39,7 +39,11 @@ def predict_input(settings: Settings) -> Iterator[dict]:
     Batch size is forced to 1 (arbitrary raw sizes; reference
     dataset_agnostic_predict_input.py:138-142).
     """
-    hw = (settings.height_feature_extractor, settings.width_feature_extractor)
+    # --eval_size runs inference at native/custom resolution (beyond
+    # reference); default matches the reference's resize-to-(hf, wf)
+    hw = settings.eval_size or (
+        settings.height_feature_extractor, settings.width_feature_extractor
+    )
 
     def _load(path: str) -> dict:
         img = Image.open(path)

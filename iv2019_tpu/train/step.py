@@ -545,6 +545,34 @@ def window_origins(full: int, win: int, overlap: float) -> list[int]:
     return origins
 
 
+def _window_plans(settings, full_hw, scales):
+    """Per-scale static tiling plans: list of (sh, sw, origins, count).
+
+    Each scale rescales ``full_hw`` to a stride-multiple size clamped to at
+    least the (hf, wf) window, then tiles it with windows at
+    ``window_overlap`` overlap. ``count`` is the per-pixel window
+    multiplicity — a trace-time numpy constant used as the canvas divisor.
+    """
+    import numpy as np
+
+    wh = settings.height_feature_extractor
+    ww = settings.width_feature_extractor
+    stride = settings.stride_feature_extractor
+    eh, ew = full_hw
+    plans = []
+    for s in scales:
+        sh = max(int(round(eh * s / stride)) * stride, wh)
+        sw = max(int(round(ew * s / stride)) * stride, ww)
+        oys = window_origins(sh, wh, settings.window_overlap)
+        oxs = window_origins(sw, ww, settings.window_overlap)
+        origins = np.array([(y, x) for y in oys for x in oxs], np.int32)
+        count = np.zeros((sh, sw, 1), np.float32)
+        for oy, ox in origins:
+            count[oy : oy + wh, ox : ox + ww] += 1.0
+        plans.append((sh, sw, origins, count))
+    return plans
+
+
 def _make_window_eval_step(
     settings, model, tax, tcids2ecids, num_eval_classes, do_replace_voids
 ):
@@ -571,8 +599,6 @@ def _make_window_eval_step(
     the standard multi-scale sliding-window protocol, still one traced
     XLA program.
     """
-    import numpy as np
-
     from iv2019_tpu.models.model import hierarchical_common_probabilities
     from iv2019_tpu.ops.resize import resize_bilinear_mxu
 
@@ -580,24 +606,9 @@ def _make_window_eval_step(
     ww = settings.width_feature_extractor
     eh, ew = settings.eval_size
     nc = tax.num_common_classes
-    stride = settings.stride_feature_extractor
     scales = tuple(getattr(settings, "eval_scales", (1.0,)) or (1.0,))
     flip = bool(getattr(settings, "eval_flip", False))
-
-    # per-scale static tiling plans: (sh, sw, origins, count)
-    plans = []
-    for s in scales:
-        sh = max(int(round(eh * s / stride)) * stride, wh)
-        sw = max(int(round(ew * s / stride)) * stride, ww)
-        oys = window_origins(sh, wh, settings.window_overlap)
-        oxs = window_origins(sw, ww, settings.window_overlap)
-        origins = np.array([(y, x) for y in oys for x in oxs], np.int32)
-        # per-pixel window multiplicity is origin-determined: a static
-        # divisor
-        count = np.zeros((sh, sw, 1), np.float32)
-        for oy, ox in origins:
-            count[oy : oy + wh, ox : ox + ww] += 1.0
-        plans.append((sh, sw, origins, count))
+    plans = _window_plans(settings, (eh, ew), scales)
 
     def eval_step(params, batch_stats, images, prolabels):
         b, _, _, ch = images.shape
@@ -673,6 +684,124 @@ def _replace_void_decisions(probs, decs):
     return jnp.where(void_mask, top2[..., 1], top2[..., 0]).astype(jnp.int32)
 
 
+_HEAD_KEYS = (
+    "l1_probabilities", "l2_vehicle_probabilities", "l2_human_probabilities"
+)
+
+
+def _tta_predict_heads(settings, model, scales, flip):
+    """Per-head probabilities averaged over a scale/flip ensemble (beyond
+    reference): each head's softmax distribution is computed per member,
+    resized back to the input resolution, and averaged — the predict-mode
+    counterpart of _make_tta_eval_step's common-space averaging, keeping
+    the reference predict output contract (three per-head tensors)."""
+    from iv2019_tpu.ops.resize import resize_bilinear_mxu
+
+    stride = settings.stride_feature_extractor
+
+    def compute(params, batch_stats, images):
+        h, w = images.shape[1], images.shape[2]
+        acc = None
+        n = 0
+        for s in scales:
+            sh = max(int(round(h * s / stride)) * stride, stride)
+            sw = max(int(round(w * s / stride)) * stride, stride)
+            for do_flip in (False, True) if flip else (False,):
+                im = images[:, :, ::-1, :] if do_flip else images
+                if (sh, sw) != (h, w):
+                    im = resize_bilinear_mxu(im, (sh, sw), align_corners=True)
+                preds, _ = forward(model, params, batch_stats, im, False)
+                member = []
+                for k in _HEAD_KEYS:
+                    p = preds[k]
+                    if do_flip:
+                        p = p[:, :, ::-1, :]
+                    if (sh, sw) != (h, w):
+                        p = resize_bilinear_mxu(p, (h, w), align_corners=True)
+                    member.append(p)
+                acc = member if acc is None else [a + m for a, m in zip(acc, member)]
+                n += 1
+        return tuple(a / n for a in acc)
+
+    return compute
+
+
+def _window_predict_heads(settings, model, tax, scales, flip):
+    """Sliding-window per-head probability canvases (beyond reference).
+
+    The predict-mode counterpart of _make_window_eval_step: tiles the
+    ``eval_size`` input with (hf, wf) windows per scale/flip member,
+    stitches each head's softmax distribution on its own canvas (averaging
+    keeps each head normalized over its label space), and averages the
+    members. Decisions are re-derived from the averaged heads by the
+    model's argmax fusion in make_predict_step."""
+    from iv2019_tpu.ops.resize import resize_bilinear_mxu
+
+    wh = settings.height_feature_extractor
+    ww = settings.width_feature_extractor
+    eh, ew = settings.eval_size
+    ncs = (
+        tax.num_l1_classes,
+        len(tax.l2_vehicle_cids2common_cids),
+        len(tax.l2_human_cids2common_cids),
+    )
+    plans = _window_plans(settings, (eh, ew), scales)
+
+    def compute(params, batch_stats, images):
+        b, ih, iw, ch = images.shape
+        if (ih, iw) != (eh, ew):
+            raise ValueError(
+                f"sliding-window predict compiled for eval_size ({eh}, {ew}) "
+                f"but got images of ({ih}, {iw}); the predict pipeline must "
+                "resize to eval_size"
+            )
+
+        def stitch(im, sh, sw, origins, count):
+            canvases = tuple(
+                jnp.zeros((b, sh, sw, nc), jnp.float32) for nc in ncs
+            )
+
+            def body(canvases, o):
+                oy, ox = o[0], o[1]
+                win = jax.lax.dynamic_slice(im, (0, oy, ox, 0), (b, wh, ww, ch))
+                preds, _ = forward(model, params, batch_stats, win, False)
+                new = []
+                for canvas, k in zip(canvases, _HEAD_KEYS):
+                    p = preds[k].astype(jnp.float32)
+                    cur = jax.lax.dynamic_slice(
+                        canvas, (0, oy, ox, 0), (b, wh, ww, p.shape[-1])
+                    )
+                    new.append(
+                        jax.lax.dynamic_update_slice(
+                            canvas, cur + p, (0, oy, ox, 0)
+                        )
+                    )
+                return tuple(new), None
+
+            canvases, _ = jax.lax.scan(body, canvases, jnp.asarray(origins))
+            return tuple(c / jnp.asarray(count) for c in canvases)
+
+        acc = None
+        n = 0
+        for sh, sw, origins, count in plans:
+            for do_flip in (False, True) if flip else (False,):
+                im = images[:, :, ::-1, :] if do_flip else images
+                if (sh, sw) != (eh, ew):
+                    im = resize_bilinear_mxu(im, (sh, sw), align_corners=True)
+                member = []
+                for p in stitch(im, sh, sw, origins, count):
+                    if do_flip:
+                        p = p[:, :, ::-1, :]
+                    if (sh, sw) != (eh, ew):
+                        p = resize_bilinear_mxu(p, (eh, ew), align_corners=True)
+                    member.append(p)
+                acc = member if acc is None else [a + m for a, m in zip(acc, member)]
+                n += 1
+        return tuple(a / n for a in acc)
+
+    return compute
+
+
 def make_predict_step(
     settings: Settings, output_size: Optional[tuple[int, int]] = None, model=None
 ) -> Callable:
@@ -682,6 +811,12 @@ def make_predict_step(
     select the 4 supported heads, resize to the system size (or the given
     output_size), optional void replacement. Output resize uses
     align_corners=True as the reference does.
+
+    Beyond reference: with ``eval_scales``/``eval_flip`` the per-head
+    probabilities are averaged over the scale/flip ensemble; with
+    ``sliding_window`` (+ ``eval_size``) they are stitched from
+    training-size windows — decisions are then re-derived from the
+    averaged heads by the same argmax fusion the model applies.
     """
     settings = settings.replace(mode="predict")
     model = model or build_model(settings)
@@ -690,14 +825,54 @@ def make_predict_step(
     do_replace_voids = settings.replace_voids
     tax = get_taxonomy(settings.per_pixel_dataset_name)
 
+    sliding = bool(getattr(settings, "sliding_window", False))
+    scales = tuple(getattr(settings, "eval_scales", (1.0,)) or (1.0,))
+    flip = bool(getattr(settings, "eval_flip", False))
+    if sliding:
+        compute_heads = _window_predict_heads(settings, model, tax, scales, flip)
+    elif flip or scales != (1.0,):
+        compute_heads = _tta_predict_heads(settings, model, scales, flip)
+    else:
+        compute_heads = None
+
+    def _fuse(l1p, vehp, hump):
+        # argmax fusion over the averaged per-head distributions — the same
+        # two-level tf.where cascade as the model's hard fusion
+        # (resnet50_extended_model_hierarchical.py:95-117)
+        l1_decs = jnp.argmax(l1p, -1).astype(jnp.int32)
+        return jnp.where(
+            l1_decs == tax.cid_l1_vehicle,
+            gather_cids(
+                tax.l2_vehicle_cids2common_cids,
+                jnp.argmax(vehp, -1).astype(jnp.int32),
+            ),
+            jnp.where(
+                l1_decs == tax.cid_l1_human,
+                gather_cids(
+                    tax.l2_human_cids2common_cids,
+                    jnp.argmax(hump, -1).astype(jnp.int32),
+                ),
+                gather_cids(tax.l1_cids2common_cids, l1_decs),
+            ),
+        )
+
     def predict_step(params, batch_stats, images):
-        preds, _ = forward(model, params, batch_stats, images, False)
-        out = {
-            "l1_probabilities": preds["l1_probabilities"],
-            "l2_vehicle_probabilities": preds["l2_vehicle_probabilities"],
-            "l2_human_probabilities": preds["l2_human_probabilities"],
-            "decisions": preds["decisions"],
-        }
+        if compute_heads is None:
+            preds, _ = forward(model, params, batch_stats, images, False)
+            out = {
+                "l1_probabilities": preds["l1_probabilities"],
+                "l2_vehicle_probabilities": preds["l2_vehicle_probabilities"],
+                "l2_human_probabilities": preds["l2_human_probabilities"],
+                "decisions": preds["decisions"],
+            }
+        else:
+            l1p, vehp, hump = compute_heads(params, batch_stats, images)
+            out = {
+                "l1_probabilities": l1p,
+                "l2_vehicle_probabilities": vehp,
+                "l2_human_probabilities": hump,
+                "decisions": _fuse(l1p, vehp, hump),
+            }
         if output_size is not None:
             for k in ("l1_probabilities", "l2_vehicle_probabilities", "l2_human_probabilities"):
                 out[k] = resize_bilinear(out[k], output_size, align_corners=True)

@@ -235,6 +235,79 @@ def test_eval_size_plain_native_resolution(tiny_eval):
     assert int(np.asarray(cm).sum()) == 64 * 128
 
 
+def test_window_predict_single_window_matches_base(tiny_eval):
+    """Sliding-window predict with eval_size == window size: one window, so
+    the stitched per-head probabilities equal the direct forward's and the
+    re-derived fusion equals the model's own decisions."""
+    from iv2019_tpu.train.step import make_predict_step
+
+    settings, model, variables = tiny_eval
+    s = settings.replace(mode="predict", sliding_window=True, eval_size=(32, 64))
+    fn = make_predict_step(s, model=model)
+    rng = np.random.RandomState(5)
+    images = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    out = fn(variables["params"], variables["batch_stats"], images)
+
+    preds = model.apply(variables, images)
+    for k in ("l1_probabilities", "l2_vehicle_probabilities",
+              "l2_human_probabilities"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(preds[k]), atol=1e-5
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out["decisions"]), np.asarray(preds["decisions"])
+    )
+
+
+def test_tta_predict_flip_averages_heads(tiny_eval):
+    """--eval_flip at predict: per-head probabilities must be the average of
+    the direct and mirrored forwards."""
+    from iv2019_tpu.train.step import make_predict_step
+
+    settings, model, variables = tiny_eval
+    s = settings.replace(mode="predict", eval_flip=True)
+    fn = make_predict_step(s, model=model)
+    rng = np.random.RandomState(6)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 32, 64, 3)).astype(np.float32))
+    out = fn(variables["params"], variables["batch_stats"], images)
+
+    p = model.apply(variables, images)
+    pf = model.apply(variables, images[:, :, ::-1, :])
+    for k in ("l1_probabilities", "l2_vehicle_probabilities",
+              "l2_human_probabilities"):
+        expected = (np.asarray(p[k]) + np.asarray(pf[k])[:, :, ::-1, :]) / 2
+        np.testing.assert_allclose(np.asarray(out[k]), expected, atol=1e-5)
+
+
+def test_predict_cli_flags():
+    p = build_argparser("predict")
+    args = p.parse_args(
+        ["log", "prob.json", "/tmp/imgs", "--eval_size", "64", "128",
+         "--sliding_window", "--eval_flip"]
+    )
+    s = settings_from_args(args, "predict")
+    assert s.eval_size == (64, 128)
+    assert s.sliding_window is True
+    assert s.eval_flip is True
+
+
+def test_dataset_agnostic_input_honors_eval_size(tmp_path):
+    from PIL import Image
+
+    from iv2019_tpu.input.dataset_agnostic import predict_input
+
+    rng = np.random.RandomState(7)
+    Image.fromarray(
+        rng.randint(0, 255, (100, 200, 3), dtype=np.uint8)
+    ).save(tmp_path / "a.png")
+    s = tiny_settings(eval_size=(64, 128)).replace(
+        mode="predict", predict_dir=str(tmp_path)
+    )
+    batch = next(iter(predict_input(s)))
+    assert batch["proimages"].shape == (1, 64, 128, 3)
+    assert batch["rawimages"].shape == (100, 200, 3)
+
+
 def test_synthetic_eval_batches_honor_eval_size():
     from iv2019_tpu.input.cityscapes import synthetic_eval_batches
     from iv2019_tpu.problem.problem_def import load_problem_def
