@@ -22,7 +22,8 @@ import sys
 
 
 def export_stablehlo(
-    model, variables, input_shape, out_dir: str, wire_u8: bool = False
+    model, variables, input_shape, out_dir: str, wire_u8: bool = False,
+    predict_fn=None,
 ) -> dict:
     """Export the forward pass as StableHLO.
 
@@ -31,24 +32,31 @@ def export_stablehlo(
     from_0_1_to_m1_1, input_pipelines/utils.py:96-112) and output 0 is the
     decisions cast to uint8 — 4x less host<->device transfer per request in
     both directions, which dominates serving latency on a tunneled chip.
+
+    ``predict_fn(images) -> predictions dict`` overrides the plain
+    ``model.apply`` forward — used to export the sliding-window /
+    TTA-ensembled predict program (train/step.make_predict_step), which is
+    still one static-shape XLA program and so serves unmodified through
+    the C++ PJRT loader.
     """
     import jax
     import jax.numpy as jnp
 
     os.makedirs(out_dir, exist_ok=True)
+    apply_fn = predict_fn or (lambda images: model.apply(variables, images))
 
     if wire_u8:
 
         def forward(images_u8):
             images = images_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-            preds = model.apply(variables, images)
+            preds = apply_fn(images)
             return preds["decisions"].astype(jnp.uint8), preds["l1_probabilities"]
 
         in_spec = jax.ShapeDtypeStruct(input_shape, jnp.uint8)
     else:
 
         def forward(images):
-            preds = model.apply(variables, images)
+            preds = apply_fn(images)
             return preds["decisions"], preds["l1_probabilities"]
 
         in_spec = jax.ShapeDtypeStruct(input_shape, jnp.float32)
@@ -78,6 +86,21 @@ def main(argv):
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--restore_emas", action="store_true")
+    p.add_argument("--wire_u8", action="store_true",
+                   help="uint8 wire signature (serving)")
+    p.add_argument("--eval_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="export a native-resolution program at this input "
+                        "size (the (hf, wf) training size stays --height "
+                        "--width)")
+    p.add_argument("--sliding_window", action="store_true",
+                   help="export the sliding-window predict program: tile "
+                        "eval_size with (height, width) windows, stitch "
+                        "per-head probabilities, fuse decisions — bounded "
+                        "activation memory at megapixel serving sizes")
+    p.add_argument("--window_overlap", type=float, default=0.5)
+    p.add_argument("--eval_flip", action="store_true")
+    p.add_argument("--eval_scales", type=float, nargs="*", default=[1.0])
     args = p.parse_args(argv)
 
     from iv2019_tpu.config import Settings
@@ -91,15 +114,42 @@ def main(argv):
         height_feature_extractor=args.height,
         width_feature_extractor=args.width,
         restore_emas=args.restore_emas,
+        eval_size=tuple(args.eval_size) if args.eval_size else None,
+        sliding_window=args.sliding_window,
+        window_overlap=args.window_overlap,
+        eval_flip=args.eval_flip,
+        eval_scales=tuple(args.eval_scales),
     )
     system = SemanticSegmentation({}, settings=settings)
-    model = build_model(system.settings.replace(mode="predict"))
+    s = system.settings.replace(mode="predict")
+    model = build_model(s)
     params, batch_stats = system._restore_variables(model)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    predict_fn = None
+    in_hw = (args.height, args.width)
+    ensembled = (
+        s.sliding_window or s.eval_flip or tuple(s.eval_scales) != (1.0,)
+    )
+    if ensembled or s.eval_size:
+        # the full predict program (window stitching / TTA ensembling) is
+        # one static-shape XLA module — export it instead of the bare
+        # forward; plain eval_size needs no wrapper (fully-convolutional)
+        in_hw = s.eval_size or in_hw
+        if ensembled:
+            from iv2019_tpu.train.step import make_predict_step
+
+            step = make_predict_step(s, model=model)
+            inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+            predict_fn = lambda images: inner(params, batch_stats, images)  # noqa: E731
+
     paths = export_stablehlo(
         model,
-        {"params": params, "batch_stats": batch_stats},
-        (1, args.height, args.width, 3),
+        variables,
+        (1, *in_hw, 3),
         args.out_dir,
+        wire_u8=args.wire_u8,
+        predict_fn=predict_fn,
     )
     print(paths)
     return paths

@@ -308,6 +308,73 @@ def test_dataset_agnostic_input_honors_eval_size(tmp_path):
     assert batch["rawimages"].shape == (100, 200, 3)
 
 
+def test_export_sliding_window_program(tiny_eval, tmp_path):
+    """The sliding-window predict program is one static-shape XLA module, so
+    it exports to StableHLO and serves through the C++ PJRT loader: input is
+    the native eval_size frame, outputs are decisions + l1 probabilities."""
+    from iv2019_tpu.tools.export_model import export_stablehlo
+    from iv2019_tpu.train.step import make_predict_step
+
+    settings, model, variables = tiny_eval
+    s = settings.replace(mode="predict", sliding_window=True, eval_size=(64, 128))
+    step = make_predict_step(s, model=model)
+    inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+    paths = export_stablehlo(
+        model, variables, (1, 64, 128, 3), str(tmp_path),
+        predict_fn=lambda im: inner(
+            variables["params"], variables["batch_stats"], im
+        ),
+    )
+    text = open(paths["stablehlo"]).read()
+    assert "tensor<1x64x128x3xf32>" in text  # native-size input signature
+    assert "stablehlo.while" in text  # the window scan compiled in
+
+
+def test_window_eval_bounds_activation_memory():
+    """The point of windowing at megapixel sizes: activation (temp) memory
+    stays bounded by the window size instead of scaling with the full image
+    area. AOT-only (XLA memory analysis, no execution) on the full model."""
+    from iv2019_tpu.config import Settings
+    from iv2019_tpu.models.model import build_model
+    from iv2019_tpu.train.step import make_eval_step
+
+    base = Settings(
+        mode="eval", Nb=1,
+        height_feature_extractor=128, width_feature_extractor=256,
+        Ntrain=256, Ne=3, learning_rate_boundaries=(1, 2),
+        learning_rate_values=(0.01, 0.005, 0.0025),
+        compute_dtype="bfloat16",
+    ).finalize()
+    model = build_model(base)
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3), jnp.float32)
+        )
+    )
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    t2e = list(range(19)) + [-1]
+
+    def temp_bytes(fn, images, labels):
+        inner = fn.__wrapped__ if hasattr(fn, "__wrapped__") else fn
+        compiled = jax.jit(inner).lower(
+            variables["params"], variables["batch_stats"], images, labels
+        ).compile()
+        return compiled.memory_analysis().temp_size_in_bytes
+
+    H, W = 512, 1024
+    images = jnp.zeros((1, H, W, 3), jnp.float32)
+    labels = jnp.zeros((1, H, W), jnp.int32)
+    native = temp_bytes(make_eval_step(base, model=model, tcids2ecids=t2e),
+                        images, labels)
+    s_win = base.replace(sliding_window=True, eval_size=(H, W),
+                         window_overlap=0.0)
+    windowed = temp_bytes(make_eval_step(s_win, model=model, tcids2ecids=t2e),
+                          images, labels)
+    # measured 0.156 vs 0.323 GB (2.1x) at this size; the gap widens with
+    # image area (docs/PERFORMANCE.md window-eval memory table)
+    assert windowed < 0.7 * native, (windowed, native)
+
+
 def test_synthetic_eval_batches_honor_eval_size():
     from iv2019_tpu.input.cityscapes import synthetic_eval_batches
     from iv2019_tpu.problem.problem_def import load_problem_def
