@@ -221,6 +221,11 @@ class Settings:
     eval_size: Optional[tuple[int, int]] = None
     sliding_window: bool = False
     window_overlap: float = 0.5
+    # per-window blending: 'uniform' averages overlapping windows equally,
+    # 'gaussian' weights by a center-peaked bump (sigma = size/8) so window
+    # borders defer to better-centered neighbors — the standard
+    # seam-suppression choice for sliding-window segmentation
+    window_blend: str = "uniform"
     restore_emas: bool = False
     predict_dir: str = ""
     results_dir: Optional[str] = None
@@ -321,6 +326,11 @@ class Settings:
         if not 0.0 <= self.window_overlap < 1.0:
             raise ValueError(
                 f"window_overlap must be in [0, 1), got {self.window_overlap}"
+            )
+        if self.window_blend not in ("uniform", "gaussian"):
+            raise ValueError(
+                f"window_blend must be 'uniform' or 'gaussian', got "
+                f"{self.window_blend!r}"
             )
         if self.eval_size is not None:
             eh, ew = self.eval_size
@@ -614,6 +624,11 @@ def _add_tta_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--window_overlap", type=float, default=0.5,
                    help="fractional overlap between adjacent sliding "
                         "windows (default 0.5)")
+    p.add_argument("--window_blend", type=str, default="uniform",
+                   choices=["uniform", "gaussian"],
+                   help="how overlapping windows combine: equal averaging "
+                        "or a center-peaked Gaussian weight that fades "
+                        "window seams")
 
 
 def _add_evaluate_arguments(p: argparse.ArgumentParser) -> None:

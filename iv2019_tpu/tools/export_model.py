@@ -99,6 +99,8 @@ def main(argv):
                         "per-head probabilities, fuse decisions — bounded "
                         "activation memory at megapixel serving sizes")
     p.add_argument("--window_overlap", type=float, default=0.5)
+    p.add_argument("--window_blend", type=str, default="uniform",
+                   choices=["uniform", "gaussian"])
     p.add_argument("--eval_flip", action="store_true")
     p.add_argument("--eval_scales", type=float, nargs="*", default=[1.0])
     args = p.parse_args(argv)
@@ -117,6 +119,7 @@ def main(argv):
         eval_size=tuple(args.eval_size) if args.eval_size else None,
         sliding_window=args.sliding_window,
         window_overlap=args.window_overlap,
+        window_blend=args.window_blend,
         eval_flip=args.eval_flip,
         eval_scales=tuple(args.eval_scales),
     )

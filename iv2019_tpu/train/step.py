@@ -545,13 +545,39 @@ def window_origins(full: int, win: int, overlap: float) -> list[int]:
     return origins
 
 
+def window_weight(wh: int, ww: int, blend: str):
+    """Per-window contribution weight map (wh, ww, 1), trace-time constant.
+
+    ``uniform``: every pixel weighs 1 — plain averaging. ``gaussian``: a
+    separable Gaussian bump (sigma = size/8, the standard sliding-window
+    blending choice) so window-center predictions dominate and seams fade
+    where overlapping windows disagree; floored at 1e-3 of the peak to keep
+    the canvas division well-conditioned where only one window covers.
+    """
+    import numpy as np
+
+    if blend == "uniform":
+        return np.ones((wh, ww, 1), np.float32)
+    if blend != "gaussian":
+        raise ValueError(f"unknown window_blend {blend!r}")
+
+    def axis(n):
+        c = (n - 1) / 2.0
+        sigma = n / 8.0
+        return np.exp(-0.5 * ((np.arange(n) - c) / sigma) ** 2)
+
+    w = axis(wh)[:, None] * axis(ww)[None, :]
+    return np.maximum(w / w.max(), 1e-3).astype(np.float32)[..., None]
+
+
 def _window_plans(settings, full_hw, scales):
     """Per-scale static tiling plans: list of (sh, sw, origins, count).
 
     Each scale rescales ``full_hw`` to a stride-multiple size clamped to at
     least the (hf, wf) window, then tiles it with windows at
-    ``window_overlap`` overlap. ``count`` is the per-pixel window
-    multiplicity — a trace-time numpy constant used as the canvas divisor.
+    ``window_overlap`` overlap. ``count`` is the per-pixel accumulated
+    window weight (window_weight summed over origins) — a trace-time numpy
+    constant used as the canvas divisor.
     """
     import numpy as np
 
@@ -559,6 +585,9 @@ def _window_plans(settings, full_hw, scales):
     ww = settings.width_feature_extractor
     stride = settings.stride_feature_extractor
     eh, ew = full_hw
+    weight = window_weight(
+        wh, ww, getattr(settings, "window_blend", "uniform")
+    )
     plans = []
     for s in scales:
         sh = max(int(round(eh * s / stride)) * stride, wh)
@@ -568,9 +597,9 @@ def _window_plans(settings, full_hw, scales):
         origins = np.array([(y, x) for y in oys for x in oxs], np.int32)
         count = np.zeros((sh, sw, 1), np.float32)
         for oy, ox in origins:
-            count[oy : oy + wh, ox : ox + ww] += 1.0
+            count[oy : oy + wh, ox : ox + ww] += weight
         plans.append((sh, sw, origins, count))
-    return plans
+    return plans, weight
 
 
 def _make_window_eval_step(
@@ -608,7 +637,7 @@ def _make_window_eval_step(
     nc = tax.num_common_classes
     scales = tuple(getattr(settings, "eval_scales", (1.0,)) or (1.0,))
     flip = bool(getattr(settings, "eval_flip", False))
-    plans = _window_plans(settings, (eh, ew), scales)
+    plans, wmap = _window_plans(settings, (eh, ew), scales)
 
     def eval_step(params, batch_stats, images, prolabels):
         b, _, _, ch = images.shape
@@ -621,6 +650,7 @@ def _make_window_eval_step(
                 win = jax.lax.dynamic_slice(im, (0, oy, ox, 0), (b, wh, ww, ch))
                 preds, _ = forward(model, params, batch_stats, win, False)
                 p = hierarchical_common_probabilities(preds, tax)
+                p = p * jnp.asarray(wmap)
                 cur = jax.lax.dynamic_slice(
                     canvas, (0, oy, ox, 0), (b, wh, ww, nc)
                 )
@@ -745,7 +775,7 @@ def _window_predict_heads(settings, model, tax, scales, flip):
         len(tax.l2_vehicle_cids2common_cids),
         len(tax.l2_human_cids2common_cids),
     )
-    plans = _window_plans(settings, (eh, ew), scales)
+    plans, wmap = _window_plans(settings, (eh, ew), scales)
 
     def compute(params, batch_stats, images):
         b, ih, iw, ch = images.shape
@@ -767,7 +797,7 @@ def _window_predict_heads(settings, model, tax, scales, flip):
                 preds, _ = forward(model, params, batch_stats, win, False)
                 new = []
                 for canvas, k in zip(canvases, _HEAD_KEYS):
-                    p = preds[k].astype(jnp.float32)
+                    p = preds[k].astype(jnp.float32) * jnp.asarray(wmap)
                     cur = jax.lax.dynamic_slice(
                         canvas, (0, oy, ox, 0), (b, wh, ww, p.shape[-1])
                     )

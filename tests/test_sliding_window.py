@@ -235,6 +235,74 @@ def test_eval_size_plain_native_resolution(tiny_eval):
     assert int(np.asarray(cm).sum()) == 64 * 128
 
 
+def test_window_weight_maps():
+    from iv2019_tpu.train.step import window_weight
+
+    u = window_weight(8, 16, "uniform")
+    assert u.shape == (8, 16, 1) and (u == 1.0).all()
+    g = window_weight(32, 64, "gaussian")
+    assert g.shape == (32, 64, 1)
+    assert g.max() == 1.0  # normalized peak
+    # peak at the center, floored tails, symmetric
+    assert g[15:17, 31:33].min() > 0.9
+    assert g.min() >= 1e-3
+    np.testing.assert_allclose(g, g[::-1], atol=1e-6)
+    np.testing.assert_allclose(g, g[:, ::-1], atol=1e-6)
+    with pytest.raises(ValueError, match="window_blend"):
+        window_weight(8, 8, "bogus")
+
+
+def test_gaussian_blend_single_window_invariant(tiny_eval):
+    """With one window the Gaussian weight cancels (p*w / w): decisions must
+    equal the direct forward exactly, pinning the blend normalization."""
+    settings, model, variables = tiny_eval
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    s = settings.replace(
+        mode="eval", sliding_window=True, eval_size=(32, 64),
+        window_blend="gaussian",
+    )
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    rng = np.random.RandomState(8)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 32, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (1, 32, 64)).astype(np.int32))
+    cm = fn(variables["params"], variables["batch_stats"], images, labels)
+
+    decs = jnp.argmax(_probs(model, variables, images, tax), -1).astype(jnp.int32)
+    cm_manual = confusion_matrix(labels, decs, 20)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_manual))
+
+
+def test_gaussian_blend_overlapping_windows(tiny_eval):
+    """50% overlap with Gaussian blending: overlapped pixels must carry the
+    weight-blended distribution (manual canvas check)."""
+    from iv2019_tpu.train.step import window_weight
+
+    settings, model, variables = tiny_eval
+    tax = get_taxonomy(settings.per_pixel_dataset_name)
+    s = settings.replace(
+        mode="eval", sliding_window=True, eval_size=(32, 96),
+        window_overlap=0.5, window_blend="gaussian",
+    )
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    rng = np.random.RandomState(9)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 32, 96, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (1, 32, 96)).astype(np.int32))
+    cm = fn(variables["params"], variables["batch_stats"], images, labels)
+
+    w = window_weight(32, 64, "gaussian")
+    canvas = np.zeros((1, 32, 96, tax.num_common_classes), np.float32)
+    count = np.zeros((1, 32, 96, 1), np.float32)
+    for ox in (0, 32):
+        win = images[:, :, ox : ox + 64, :]
+        canvas[:, :, ox : ox + 64] += np.asarray(
+            _probs(model, variables, win, tax)
+        ) * w
+        count[:, :, ox : ox + 64] += w
+    decs = jnp.asarray(np.argmax(canvas / count, -1).astype(np.int32))
+    cm_manual = confusion_matrix(labels, decs, 20)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_manual))
+
+
 def test_window_predict_single_window_matches_base(tiny_eval):
     """Sliding-window predict with eval_size == window size: one window, so
     the stitched per-head probabilities equal the direct forward's and the
