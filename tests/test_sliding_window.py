@@ -376,6 +376,38 @@ def test_dataset_agnostic_input_honors_eval_size(tmp_path):
     assert batch["rawimages"].shape == (100, 200, 3)
 
 
+def test_window_eval_on_data_mesh_matches_single_device(tiny_eval):
+    """Sliding-window eval is SPMD-compatible: over the 8-device data mesh
+    (batch sharded, windows sliced per shard) the confusion matrix equals
+    the single-device result exactly — multi-chip native-resolution eval."""
+    from iv2019_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest sets XLA_FLAGS)")
+
+    settings, model, variables = tiny_eval
+    s = settings.replace(
+        mode="eval", sliding_window=True, eval_size=(64, 128),
+        window_blend="gaussian",
+    )
+    fn = make_eval_step(s, model=model, tcids2ecids=list(range(19)) + [-1])
+    rng = np.random.RandomState(10)
+    images = rng.uniform(-1, 1, (8, 64, 128, 3)).astype(np.float32)
+    labels = rng.randint(0, 20, (8, 64, 128)).astype(np.int32)
+
+    single = fn(
+        variables["params"], variables["batch_stats"],
+        jnp.asarray(images), jnp.asarray(labels),
+    )
+
+    mesh = create_mesh(8)
+    v = replicate(variables, mesh)
+    sharded = shard_batch({"im": images, "la": labels}, mesh)
+    meshed = fn(v["params"], v["batch_stats"], sharded["im"], sharded["la"])
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(meshed))
+    assert int(np.asarray(meshed).sum()) == 8 * 64 * 128
+
+
 def test_export_sliding_window_program(tiny_eval, tmp_path):
     """The sliding-window predict program is one static-shape XLA module, so
     it exports to StableHLO and serves through the C++ PJRT loader: input is
