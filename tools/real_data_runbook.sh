@@ -64,3 +64,14 @@ python -m iv2019_tpu.evaluate_cli "$LOG_DIR" 500 \
     --tfrecords_path "$DATA_DIR/val.tfrecords" --Nb 2 --restore_emas \
     --height_feature_extractor 512 --width_feature_extractor 1024
 echo "Compare mean IoU against the reference's 70.46 (code/README.md:38)."
+
+echo "== 4b/4 (optional) native-resolution protocol: expect the best score =="
+# evaluates at the full 1024x2048 cityscapes resolution with Gaussian-
+# blended 512x1024 windows — measured +6.0 mIoU over the resize protocol
+# on the procedural benchmark (docs/QUALITY.md section 8); scores against
+# native-resolution labels, the reference cannot do this at all
+python -m iv2019_tpu.evaluate_cli "$LOG_DIR" 500 \
+    iv2019_tpu/problem_definitions/cityscapes/problem01.json \
+    --tfrecords_path "$DATA_DIR/val.tfrecords" --Nb 1 --restore_emas \
+    --height_feature_extractor 512 --width_feature_extractor 1024 \
+    --eval_size 1024 2048 --sliding_window --window_blend gaussian
