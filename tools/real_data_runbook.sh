@@ -67,7 +67,8 @@ echo "Compare mean IoU against the reference's 70.46 (code/README.md:38)."
 
 echo "== 4b/4 (optional) native-resolution protocol: expect the best score =="
 # evaluates at the full 1024x2048 cityscapes resolution with Gaussian-
-# blended 512x1024 windows — measured +6.0 mIoU over the resize protocol
+# blended 512x1024 windows — measured +8.1 mIoU over the resize protocol
+# (with --eval_scales 1.0 1.5 --eval_flip; +6.0 without the ensemble)
 # on the procedural benchmark (docs/QUALITY.md section 8); scores against
 # native-resolution labels, the reference cannot do this at all
 python -m iv2019_tpu.evaluate_cli "$LOG_DIR" 500 \
