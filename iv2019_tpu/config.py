@@ -18,6 +18,7 @@ import dataclasses
 import json
 import os
 import sys
+import warnings
 from typing import Any, Optional
 
 __all__ = ["Settings", "build_argparser", "settings_from_args", "TRAIN", "EVAL", "PREDICT"]
@@ -99,6 +100,10 @@ class Settings:
     norm_train_variables: bool = True
     batch_norm_accumulate_statistics: bool = True
     batch_norm_decay: float = 0.9
+    # no-op under SPMD: BatchNorm reduces over the full (sharded) global
+    # batch, so cross-replica statistics are the only behavior — the flag is
+    # accepted for reference CLI parity (utils/utils.py:111-113) and setting
+    # it changes nothing
     cross_replica_norm: bool = False
 
     # -- numerics / TPU ----------------------------------------------------
@@ -233,6 +238,8 @@ class Settings:
     plotting_overlapped: bool = False  # reference predict.py:127-135
     plot_l1_confidence: bool = False  # reference predict.py:109-123
     plot_l2_confidence: bool = False
+    # no-op here: the reference's interactive plt.waitforbuttonpress wait
+    # (predict.py:125,135); this CLI saves figures headlessly instead
     timeout: float = 10.0
     export_color_decisions: bool = False
     export_overlapped_color_decisions: bool = False  # reference predict.py:155-165
@@ -367,6 +374,16 @@ class Settings:
                         f"{name}={nb} (equal microbatch slices per supervision "
                         "type)."
                     )
+        if self.bootstrapping_percentage != -1:
+            # dead flag in the reference too (registered at utils/utils.py:114,
+            # never consumed anywhere); kept for CLI parity but warn so nobody
+            # trains a sweep believing it does something
+            warnings.warn(
+                "--bootstrapping_percentage is accepted for reference CLI "
+                "parity but has no effect (it is unused in the reference as "
+                "well: registered at utils/utils.py:114, never consumed).",
+                stacklevel=2,
+            )
         if self.openimages_label_space not in ("v1", "v2"):
             raise ValueError(
                 f"openimages_label_space must be 'v1' or 'v2', got "

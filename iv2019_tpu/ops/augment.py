@@ -19,10 +19,11 @@ mean-constant padding, probabilities):
 - random_color (:323-406): one of 4 brightness/saturation/hue/contrast
   orderings (batch-wide selector, per-image deltas), applied with p=1/2,
   clipped to [0,1]
-- random_blur (:408-466): p=1/2; the reference's cv2 median/bilateral
-  py_func becomes an odd-radius separable box-median hybrid: a true running
-  median is not vectorizable at useful sizes, so we provide an exact 3x3/5x5
-  median (sorting network) and Gaussian fallback for larger kernels.
+- random_blur (:408-466): p=1/2; cv2-parity median/bilateral filters as
+  batched gather+sort / gather+weight kernels (`_median_filter` quantizes
+  to uint8 like cv2.medianBlur; `_bilateral_filter` applies the space and
+  range Gaussians of cv2.bilateralFilter), radius drawn per image,
+  oracle-tested against cv2 in tests/test_blur_parity.py.
 """
 
 from __future__ import annotations

@@ -8,8 +8,9 @@ The JAX analog of the reference's MonitoredSession hot loop
   SURVEY.md §5.3-5.4)
 - ImageNet warm start when ``init_ckpt_path`` is set and log_dir is empty
   (mutual exclusion guard, reference system_factory.py:438-445)
-- scalar "summaries": JSONL always; TensorBoard via torch SummaryWriter if
-  available (replaces reference _define_summaries scalars)
+- scalar "summaries": JSONL always; TensorBoard event files via the
+  native TF-free writer in utils/tb_writer.py (replaces reference
+  _define_summaries scalars)
 - periodic ``jax.profiler`` device traces (replaces _RunMetadataHook's
   Chrome traces, reference define_estimator_hierarchical.py:408-474)
 """
