@@ -52,8 +52,12 @@ def main(steps: int = 20, warmup: int = 3):
     from iv2019_tpu.train.state import create_train_state
     from iv2019_tpu.train.step import make_train_step
 
-    h, w = 512, 1024
-    npp, npb, npi = 4, 8, 4
+    # shape/batch A/B knobs (docs/PERFORMANCE.md round-4 batch-scaling and
+    # vistas-shape rows); defaults = the flagship reference config
+    h, w = (int(x) for x in os.environ.get("IV_SHAPE", "512,1024").split(","))
+    npp, npb, npi = (
+        int(x) for x in os.environ.get("IV_NB", "4,8,4").split(",")
+    )
     settings = Settings(
         per_pixel_dataset_name="cityscapes",
         Nb_per_pixel=npp, Nb_per_bbox=npb, Nb_per_image=npi, Nb=npp,
@@ -149,6 +153,8 @@ def main(steps: int = 20, warmup: int = 3):
         and settings.dilation_mode == "dilated"
         and not settings.root_conv_s2d
         and not settings.root_wgrad_pallas
+        and (h, w) == (512, 1024)
+        and (npp, npb, npi) == (4, 8, 4)
     )
     achievable_floor_ips = (
         105.0

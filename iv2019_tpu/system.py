@@ -356,6 +356,10 @@ class SemanticSegmentation:
             print(f"\n{len(steps)} checkpoint(s) will be evaluated.\n")
             return steps
         if s.ckpt_path is not None:
+            if str(s.ckpt_path).endswith(".npz"):
+                # converted reference trained checkpoint
+                # (utils/checkpoint.convert_tf_checkpoint_to_npz full=True)
+                return [s.ckpt_path]
             # accept either a step number or a path ending in one
             try:
                 return [int(s.ckpt_path)]
@@ -374,13 +378,31 @@ class SemanticSegmentation:
         be evaluable the other way).
         """
         s = self._settings
-        ckpt = CheckpointManager(s.log_dir)
         import jax.numpy as jnp
 
         shape = (1, s.height_feature_extractor, s.width_feature_extractor, 3)
         variables = jax.jit(
             lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32))
         )()
+
+        # converted reference trained checkpoint (.npz): full-model restore
+        # with the EMA name remap — the analog of pointing the reference's
+        # predict/evaluate at its released checkpoint (define_savers.py:38-66)
+        npz = None
+        if isinstance(step, str) and str(step).endswith(".npz"):
+            npz = step
+        elif step is None and s.ckpt_path and str(s.ckpt_path).endswith(".npz"):
+            npz = s.ckpt_path
+        if npz is not None:
+            from iv2019_tpu.utils.checkpoint import restore_trained_from_npz
+
+            params, batch_stats, n = restore_trained_from_npz(
+                variables, npz, restore_emas=s.restore_emas
+            )
+            print(f"restored {n} variables from converted checkpoint {npz}")
+            return params, batch_stats
+
+        ckpt = CheckpointManager(s.log_dir)
 
         def _restore_fused():
             from iv2019_tpu.train.fused_update import FusedSGDM

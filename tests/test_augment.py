@@ -4,6 +4,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from iv2019_tpu.ops.augment import (
     random_blur,
     random_color,
@@ -84,6 +86,7 @@ class TestScaling:
         assert pi.shape == images.shape and pl.shape == labels.shape
 
 
+@pytest.mark.slow  # multi-second tier; see pytest.ini
 class TestColorBlur:
     def test_color_shapes_range(self):
         images, _ = _data()

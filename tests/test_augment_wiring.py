@@ -19,6 +19,8 @@ from iv2019_tpu.train.optimizer import make_optimizer
 from iv2019_tpu.train.state import create_train_state
 from iv2019_tpu.train.step import make_train_step
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def test_cli_flag_parses():
     p = build_argparser(TRAIN)

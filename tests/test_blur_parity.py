@@ -88,6 +88,7 @@ class TestBilateralParity:
         np.testing.assert_allclose(out, want, atol=2e-3)
 
 
+@pytest.mark.slow  # multi-second tier; see pytest.ini
 class TestRandomBlur:
     def test_shapes_and_range(self):
         rng = np.random.RandomState(0)

@@ -15,6 +15,9 @@ from iv2019_tpu.train.state import create_fused_train_state
 from iv2019_tpu.train.step import make_train_step
 
 from helpers import synthetic_batch, tiny_model, tiny_settings
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
 
 
 def _setup():

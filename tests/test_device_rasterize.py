@@ -40,6 +40,7 @@ class TestBoxTransform:
         np.testing.assert_allclose(out, [[0.0, 0.0, 0.0, 0.0]], atol=1e-6)
 
 
+@pytest.mark.slow  # multi-second tier; see pytest.ini
 class TestTrainStepDeviceRasterize:
     def test_step_runs_with_box_tensors(self):
         settings = tiny_settings(rasterize_on_device=True)

@@ -15,6 +15,8 @@ import pytest
 
 from iv2019_tpu.models.layers import _same_padding, dot_conv_same
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _conv_ref(x, k, stride, rate):
     pad_h = _same_padding(k.shape[0], rate)

@@ -10,6 +10,8 @@ from iv2019_tpu.problem.taxonomy import get_taxonomy
 
 from helpers import TINY_BLOCKS
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 TAX = get_taxonomy("cityscapes")
 C = 16  # feature_dims_decreased in the tiny config
 W = max(TAX.num_l1_classes, TAX.num_vehicle_classes, TAX.num_human_classes)

@@ -16,6 +16,8 @@ from flax import linen as nn
 from iv2019_tpu.models.layers import FusedBatchNorm, Norm
 from iv2019_tpu.ops.fused_bn import batch_norm_train, batch_stats
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _flax_bn(momentum=0.9, epsilon=1e-5):
     return nn.BatchNorm(

@@ -19,6 +19,8 @@ from iv2019_tpu.ops.resize import resize_bilinear_mxu
 from iv2019_tpu.ops.segment_ops import gather_cids
 from iv2019_tpu.problem.taxonomy import NUM_WEAK_CLASSES, get_taxonomy
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _inputs(tax, seed, n_pp, n_pb, n_pi, h=8, w=16, scale=4):
     rng = np.random.RandomState(seed)

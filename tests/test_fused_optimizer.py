@@ -12,6 +12,8 @@ from iv2019_tpu.train.step import make_train_step
 
 from helpers import synthetic_batch, tiny_model, tiny_settings
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _init(settings):
     model = tiny_model(settings, train=True)

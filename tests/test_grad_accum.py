@@ -26,6 +26,8 @@ from iv2019_tpu.train.step import make_train_step
 
 from helpers import synthetic_batch, tiny_model, tiny_settings
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _run_step(settings, variables, batch):
     model = tiny_model(settings, train=True)

@@ -11,6 +11,9 @@ import os
 from helpers import tiny_model, tiny_settings
 from iv2019_tpu.input.heterogeneous import train_input
 from iv2019_tpu.train.loop import default_profile_every, train
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
 
 _PKG = os.path.join(os.path.dirname(__file__), "..", "iv2019_tpu")
 CITYSCAPES_JSON = os.path.join(

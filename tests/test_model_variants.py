@@ -10,6 +10,8 @@ from iv2019_tpu.problem.taxonomy import get_taxonomy
 
 from helpers import TINY_BLOCKS
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _model(**kw):
     defaults = dict(

@@ -23,6 +23,8 @@ import pytest
 from iv2019_tpu.config import Settings
 from iv2019_tpu.parallel import multihost
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, "multihost_worker.py")
 

@@ -27,6 +27,8 @@ from iv2019_tpu.train.optimizer import make_optimizer
 from iv2019_tpu.train.state import create_train_state
 from iv2019_tpu.train.step import make_train_step
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _settings(n, h, w):
     return Settings(

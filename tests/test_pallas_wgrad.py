@@ -21,6 +21,8 @@ from iv2019_tpu.ops.pallas_wgrad import (
     wgrad_supported,
 )
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _case(n, h, w, c, cout, seed=0):
     rng = np.random.RandomState(seed)

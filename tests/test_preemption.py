@@ -17,6 +17,9 @@ from iv2019_tpu.train.loop import train as run_train
 from iv2019_tpu.utils.checkpoint import CheckpointManager
 
 from helpers import tiny_model, tiny_settings
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
 
 _PKG = os.path.join(os.path.dirname(__file__), "..", "iv2019_tpu")
 CITYSCAPES_JSON = os.path.join(

@@ -41,6 +41,7 @@ class TestUnitPlan:
         assert all(u[3] == 1 for units in plan for u in units)
 
 
+@pytest.mark.slow  # multi-second tier; see pytest.ini
 class TestSpaceToBatch:
     def test_roundtrip(self):
         x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 12, 5).astype(np.float32))

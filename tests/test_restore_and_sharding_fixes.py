@@ -17,6 +17,8 @@ from iv2019_tpu.input.cityscapes import evaluate_input
 from iv2019_tpu.input.heterogeneous import train_input as hetero_train_input
 from iv2019_tpu.system import SemanticSegmentation, _group_eval_batches
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 _PKG = os.path.join(os.path.dirname(__file__), "..", "iv2019_tpu")
 CITYSCAPES_JSON = os.path.join(
     _PKG, "problem_definitions", "cityscapes", "problem01.json"

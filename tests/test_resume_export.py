@@ -15,6 +15,8 @@ from iv2019_tpu.utils.checkpoint import CheckpointManager
 
 from helpers import tiny_model, tiny_settings
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 _PKG = os.path.join(os.path.dirname(__file__), "..", "iv2019_tpu")
 CITYSCAPES_JSON = os.path.join(_PKG, "problem_definitions", "cityscapes", "problem01.json")
 VISTAS_JSON = os.path.join(_PKG, "problem_definitions", "vistas", "problem01.json")

@@ -17,6 +17,8 @@ from iv2019_tpu.train.step import make_eval_step, window_origins
 
 from helpers import tiny_model, tiny_settings
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def test_window_origins_cover_and_clamp():
     # exact tiling at overlap 0

@@ -27,9 +27,10 @@ from iv2019_tpu.train.optimizer import make_optimizer
 from iv2019_tpu.train.state import create_train_state
 from iv2019_tpu.train.step import make_train_step
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices"),
+    pytest.mark.slow,  # multi-second tier; see pytest.ini
+]
 
 
 def _settings(n, h, w):

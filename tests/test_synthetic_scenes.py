@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBLEM = os.path.join(
     REPO, "iv2019_tpu", "problem_definitions", "cityscapes", "problem01.json"

@@ -29,6 +29,8 @@ from iv2019_tpu.models.model import HierarchicalSegmentationModel
 from iv2019_tpu.models.resnet import RESNET50_BLOCKS, _unit_plan
 from iv2019_tpu.problem.taxonomy import get_taxonomy
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 # ---------------- TF transcription ----------------
 

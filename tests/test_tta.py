@@ -16,6 +16,8 @@ from iv2019_tpu.train.step import _make_tta_eval_step, make_eval_step
 
 from helpers import tiny_model, tiny_settings
 
+pytestmark = pytest.mark.slow  # multi-second tier; see pytest.ini
+
 
 def _random_preds(tax, rng, shape=(2, 8, 16)):
     def head(n):

@@ -46,6 +46,19 @@ from iv2019_tpu.utils.checkpoint import convert_tf_checkpoint_to_npz
 convert_tf_checkpoint_to_npz(sys.argv[1], sys.argv[2])
 PY
 
+# Optional shortcut: the reference's RELEASED TRAINED checkpoint evaluates
+# directly, no training needed (logit-parity tested —
+# tests/test_trained_checkpoint.py). Set RELEASED_CKPT to its model.ckpt-*
+# prefix and skip to evaluate with "--ckpt_path trained.npz --restore_emas":
+if [ -n "${RELEASED_CKPT:-}" ] && [ ! -f "$DATA_DIR/trained.npz" ]; then
+    python - "$RELEASED_CKPT" "$DATA_DIR/trained.npz" <<'PY'
+import sys
+from iv2019_tpu.utils.checkpoint import convert_tf_checkpoint_to_npz
+n = convert_tf_checkpoint_to_npz(sys.argv[1], sys.argv[2], full=True)
+print(f"converted {n} variables (full trained model + EMA shadows)")
+PY
+fi
+
 echo "== 3/4 Train (reference recipe; resumes from latest ckpt if present) =="
 python -m iv2019_tpu.train_cli "$LOG_DIR" cityscapes \
     --tfrecords_path_per_pixel "$DATA_DIR/train.tfrecords" \
