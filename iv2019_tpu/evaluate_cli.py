@@ -38,6 +38,13 @@ def main(argv):
     system = SemanticSegmentation({"eval": evaluate_input}, settings=settings)
     all_metrics = system.evaluate()
 
+    from iv2019_tpu.parallel import multihost
+
+    if not multihost.is_primary():
+        # multi-process sweep: every process holds the merged metrics, but
+        # only the chief writes the artifacts (shared filesystem)
+        return all_metrics
+
     out_dir = system.eval_res_dir
     labels = list(system.evaluation_problem_def.cids2labels)
     if (

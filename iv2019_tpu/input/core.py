@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import os
 import random
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -47,7 +48,9 @@ __all__ = [
 ]
 
 SHUFFLE_BUFFER = 2000  # reference input_cityscapes.py:21
-NUM_PARALLEL_CALLS = 15  # reference input_cityscapes.py:22
+# reference input_cityscapes.py:22; overridable for host-scaling studies
+# (bench.py input --workers N) and for many-core TPU-VM hosts
+NUM_PARALLEL_CALLS = int(os.environ.get("IV_INPUT_WORKERS", "15"))
 
 
 def shuffle_repeat(

@@ -143,4 +143,11 @@ def put_sharded(x, sharding):
     """
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
+    device_set = getattr(sharding, "device_set", None)
+    if device_set is not None and all(
+        d.process_index == jax.process_index() for d in device_set
+    ):
+        # fully addressable (e.g. the per-process local mesh the
+        # multi-process eval sweep runs on): plain async H2D put
+        return jax.device_put(x, sharding)
     return jax.make_array_from_process_local_data(sharding, np.asarray(x))

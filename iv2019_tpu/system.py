@@ -291,14 +291,28 @@ class SemanticSegmentation:
 
     def evaluate(self) -> list[dict]:
         s = self._settings
-        if s.num_processes > 1:
-            raise NotImplementedError(
-                "evaluate/predict are single-host programs (run them on one "
-                "process over its local chips); multi-host is a training "
-                "feature (parallel/multihost.py)."
-            )
-        os.makedirs(self.eval_res_dir, exist_ok=True)
-        s.dump(join(self.eval_res_dir, "settings.txt"))
+        from iv2019_tpu.parallel import multihost
+
+        # Multi-process: the all-checkpoint sweep is embarrassingly parallel
+        # — each process evaluates a disjoint slice of the checkpoint list
+        # on its OWN local chips (a per-process data mesh), then the partial
+        # confusion matrices are allgathered so every process (and the
+        # chief's artifacts) sees the merged all_metrics. Pod-scale analog
+        # of the reference's serial sweep (system_factory.py:378-397).
+        multihost.initialize(s)
+        pidx, pcount = multihost.process_index(), multihost.process_count()
+        if pcount > 1 and self._mesh is None:
+            if s.spatial_partitions > 1:
+                raise NotImplementedError(
+                    "multi-process eval runs a per-process data mesh; "
+                    "spatial_partitions composes with multi-process training "
+                    "only."
+                )
+            self._mesh = create_mesh(devices=jax.local_devices())
+
+        if multihost.is_primary():
+            os.makedirs(self.eval_res_dir, exist_ok=True)
+            s.dump(join(self.eval_res_dir, "settings.txt"))
 
         model = self._model_fn(s.replace(mode="eval"))
         eval_fn = make_eval_step(
@@ -313,12 +327,14 @@ class SemanticSegmentation:
         # one epoch: Neval examples (reference system_factory.py:338-342)
         num_eval_steps = max(int(s.Neval / max(s.Nb, 1)), 1)
         ckpt_steps = self._checkpoint_steps()
-        all_metrics = []
         from iv2019_tpu.input.prefetch import device_prefetch
 
         from iv2019_tpu.parallel.mesh import replicate
 
-        for step in ckpt_steps:
+        cms: dict[int, np.ndarray] = {}
+        for i, step in enumerate(ckpt_steps):
+            if i % pcount != pidx:
+                continue  # another process owns this checkpoint
             params, batch_stats = self._restore_variables(model, step=step)
             params, batch_stats = replicate((params, batch_stats), self.mesh)
             cm = None
@@ -340,8 +356,29 @@ class SemanticSegmentation:
             # void row/col trim (system_factory.py:399-405)
             if void_exists and not s.train_void_class:
                 cm = cm[:-1, :-1]
+            cms[i] = cm
+
+        if pcount > 1:
+            # merge: fixed-shape (n_ckpts, K, K) with zeros in the slots other
+            # processes own; allgather-sum reconstructs the full sweep
+            from jax.experimental import multihost_utils
+
+            k = len(labels)
+            stack = np.zeros((len(ckpt_steps), k, k), np.float64)
+            for i, cm in cms.items():
+                stack[i] = cm
+            merged = np.asarray(
+                multihost_utils.process_allgather(stack)
+            ).sum(axis=0)
+            cms = {i: merged[i].astype(np.int64) for i in range(len(ckpt_steps))}
+
+        all_metrics = []
+        for i, step in enumerate(ckpt_steps):
+            cm = cms[i]
             metrics = {"global_step": step, "confusion_matrix": cm}
-            m = print_metrics_from_confusion_matrix(cm, labels, printcmd=True)
+            m = print_metrics_from_confusion_matrix(
+                cm, labels, printcmd=multihost.is_primary()
+            )
             metrics.update(m)
             all_metrics.append(metrics)
         return all_metrics

@@ -120,14 +120,43 @@ def test_settings_validation():
     Settings(num_processes=0).finalize().validate()
 
 
-def test_evaluate_refuses_multiprocess(tmp_path):
-    from iv2019_tpu.system import SemanticSegmentation
+EVAL_WORKER = os.path.join(HERE, "multihost_eval_worker.py")
 
-    s = Settings(
-        log_dir=str(tmp_path), num_processes=2, coordinator_address="h:1",
-        Nb_per_pixel=2, Nb_per_bbox=2, Nb_per_image=2,
-    ).finalize()
-    sys_ = SemanticSegmentation.__new__(SemanticSegmentation)
-    sys_._settings = s
-    with pytest.raises(NotImplementedError, match="single-host"):
-        sys_.evaluate()
+
+def test_two_process_eval_sweep_matches_single_process(tmp_path):
+    """--eval_all_ckpts across 2 processes: each evaluates a disjoint slice
+    of the checkpoint list on its own local mesh; the allgathered merge
+    must equal the single-process sweep, on every process (system.py
+    evaluate; pod-scale analog of reference system_factory.py:378-397)."""
+    log_dir = str(tmp_path / "log")
+
+    def _run(extra):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+        return subprocess.Popen(
+            [sys.executable, EVAL_WORKER, "--log_dir", log_dir, *extra],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+
+    # reference run first: trains the tiny model (2 checkpoints) then sweeps
+    ref = _result(_run([]))
+    assert len(ref["steps"]) == 2
+
+    port = _free_port()
+    procs = [
+        _run(["--pid", str(i), "--nproc", "2", "--port", str(port)])
+        for i in range(2)
+    ]
+    res = [_result(p) for p in procs]
+
+    for r in res:
+        assert r["steps"] == ref["steps"]
+        # integer confusion-matrix content must merge exactly
+        assert r["cm_sums"] == ref["cm_sums"]
+        assert r["mean_ious"] == pytest.approx(ref["mean_ious"], rel=1e-4)
+        assert r["global_accuracies"] == pytest.approx(
+            ref["global_accuracies"], rel=1e-4
+        )
+    # both processes hold the identical merged sweep
+    assert res[0]["mean_ious"] == pytest.approx(res[1]["mean_ious"], rel=1e-9)
