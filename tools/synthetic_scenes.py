@@ -56,13 +56,19 @@ def _noise(rng, shape, scale=12):
     return rng.randint(-scale, scale + 1, shape).astype(np.int16)
 
 
-def make_scene(seed: int, h: int, w: int):
+def make_scene(seed: int, h: int, w: int, object_rate: float = 1.0):
     """One scene -> (image uint8 RGB, label uint8 lids, objects).
 
     objects: list of (mid, (xmin, xmax, ymin, ymax)) in normalized coords.
     Colors correlate with classes (that's what makes it learnable): blue
     sky, textured gray building, green vegetation, dark road, light
     sidewalk, saturated cars, red-topped persons.
+
+    ``object_rate`` < 1 thins cars/buses/persons by keeping each drawn
+    object with that probability — used to synthesize per-pixel sets in
+    which the object classes are scarce, the regime the paper's weak
+    supervision targets (weak sets stay at rate 1.0). At the default 1.0
+    no extra RNG draws happen, so existing seeds reproduce exactly.
     """
     rng = np.random.RandomState(seed)
     img = np.zeros((h, w, 3), np.int16)
@@ -107,6 +113,8 @@ def make_scene(seed: int, h: int, w: int):
 
     # cars / buses on the road
     for _ in range(rng.randint(1, 4)):
+        if object_rate < 1.0 and rng.uniform() >= object_rate:
+            continue
         is_bus = rng.uniform() < 0.25
         cw = rng.randint(w // 8, w // 4) if not is_bus else rng.randint(w // 5, w // 3)
         ch = max(4, int(cw * (0.45 if not is_bus else 0.6)))
@@ -129,6 +137,8 @@ def make_scene(seed: int, h: int, w: int):
     # feature grid at small image sizes — sub-8px objects are invisible
     # to the L1 decision gate)
     for _ in range(rng.randint(0, 3)):
+        if object_rate < 1.0 and rng.uniform() >= object_rate:
+            continue
         ph = rng.randint(max(12, h // 5), max(14, h // 3))
         pw = max(4, ph // 3)
         px = rng.randint(0, w - pw)
@@ -154,6 +164,7 @@ def generate(
     h: int = 128,
     w: int = 256,
     fmt: str = "cityscapes",
+    object_rate_train: float = 1.0,
 ) -> dict:
     """Write the full dataset; returns the paths dict for the CLIs.
 
@@ -179,9 +190,10 @@ def generate(
             la_dir = os.path.join(out_dir, "vistas", split, "labels")
         os.makedirs(im_dir, exist_ok=True)
         os.makedirs(la_dir, exist_ok=True)
+        rate = object_rate_train if split == "train" else 1.0
         for i in range(n):
             if fmt == "cityscapes":
-                img, lbl, _ = make_scene(seed0 + i, h, w)
+                img, lbl, _ = make_scene(seed0 + i, h, w, object_rate=rate)
                 Image.fromarray(img).save(
                     os.path.join(im_dir, f"s{i:05d}_leftImg8bit.png")
                 )
@@ -240,10 +252,16 @@ def main():
     p.add_argument("--height", type=int, default=128)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--format", default="cityscapes", choices=["cityscapes", "vistas"])
+    p.add_argument("--object_rate_train", type=float, default=1.0,
+                   help="keep-probability for cars/buses/persons in the "
+                        "per-pixel TRAIN scenes only (weak/val stay 1.0); "
+                        "<1 synthesizes the object-scarce regime weak "
+                        "supervision targets")
     args = p.parse_args()
     paths = generate(
         args.out_dir, args.n_train, args.n_val, args.n_weak,
         args.height, args.width, fmt=args.format,
+        object_rate_train=args.object_rate_train,
     )
     for k, v in paths.items():
         print(f"{k}: {v}")

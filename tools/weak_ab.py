@@ -1,0 +1,156 @@
+"""Seeded weak-supervision A/B on object-scarce per-pixel data (VERDICT r3 #3).
+
+The paper's headline mechanism — weak bbox/image-label supervision
+boosting a segmentation model — targets the regime where the per-pixel
+set undercovers the object classes (reference README.md: OpenImages adds
+classes/instances the dense sets lack). QUALITY.md round-3 showed the
+machinery moves bbox-covered classes (+5-6 IoU) but net-negative mean
+IoU on object-RICH per-pixel data, single run. This runner creates the
+regime the mechanism is for and measures it with seeds:
+
+- per-pixel train scenes generated with ``--object_rate_train`` (default
+  0.2: ~80% of cars/buses/persons removed -> objects scarce in dense GT),
+- weak set (bboxes + image labels) and the val set at full object rate,
+- arms: per-pixel-only (Nb 4/0/0) vs + weak (Nb 4/8/4), same schedule,
+- N seeds per arm (--random_seed = model init, --input_seed = shuffles),
+- reports per-class and mean IoU as mean +/- std across seeds.
+
+Usage: python tools/weak_ab.py WORKDIR [--seeds 3] [--rate 0.2]
+           [--n_pp 24] [--n_weak 256] [--n_val 48] [--ne 48]
+Writes WORKDIR/weak_ab.json and prints a markdown table for QUALITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PROBLEM = os.path.join(
+    REPO, "iv2019_tpu", "problem_definitions", "cityscapes", "problem01.json"
+)
+SIZE = ["--height_feature_extractor", "128", "--width_feature_extractor", "256"]
+
+
+def _run(module, args, timeout=3600):
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, "-m", module, *args],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{module} {' '.join(args[:3])} failed\n"
+            f"STDOUT:\n{proc.stdout[-3000:]}\nSTDERR:\n{proc.stderr[-3000:]}"
+        )
+    return proc
+
+
+def run_arm(workdir, paths, arm, seed, ne):
+    log_dir = os.path.join(workdir, f"{arm}_s{seed}")
+    nb_weak = ("8", "4") if arm == "weak" else ("0", "0")
+    _run("iv2019_tpu.train_cli", [
+        log_dir, "cityscapes",
+        "--tfrecords_path_per_pixel", paths["tfrecords_train"],
+        "--openimages_image_dir", paths["openimages_image_dir"],
+        "--openimages_bboxes_path", paths["openimages_bboxes_path"],
+        "--openimages_image_labels_path", paths["openimages_image_labels_path"],
+        *SIZE,
+        "--Ntrain", str(paths["n_pp"]), "--Ne", str(ne),
+        "--Nb_per_pixel", "4",
+        "--Nb_per_bbox", nb_weak[0], "--Nb_per_image", nb_weak[1],
+        "--learning_rate_boundaries", str(ne * 2 // 3), str(ne * 5 // 6),
+        "--learning_rate_values", "0.01", "0.005", "0.0025",
+        "--random_seed", str(seed), "--input_seed", str(seed),
+    ])
+    _run("iv2019_tpu.evaluate_cli", [
+        log_dir, str(paths["n_val"]), PROBLEM,
+        "--tfrecords_path", paths["tfrecords_val"],
+        *SIZE, "--Nb", "4",
+    ])
+    eval_dir = sorted(d for d in os.listdir(log_dir) if d.startswith("eval_"))[-1]
+    with open(os.path.join(log_dir, eval_dir, "all_metrics.p"), "rb") as f:
+        return pickle.load(f)[-1]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("workdir")
+    p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--rate", type=float, default=0.2)
+    p.add_argument("--n_pp", type=int, default=24)
+    p.add_argument("--n_weak", type=int, default=256)
+    p.add_argument("--n_val", type=int, default=48)
+    p.add_argument("--ne", type=int, default=48)
+    args = p.parse_args()
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from synthetic_scenes import generate
+
+    os.makedirs(args.workdir, exist_ok=True)
+    data_dir = os.path.join(args.workdir, "data")
+    paths = generate(data_dir, n_train=args.n_pp, n_val=args.n_val,
+                     n_weak=args.n_weak, h=128, w=256,
+                     object_rate_train=args.rate)
+    paths["n_pp"], paths["n_val"] = args.n_pp, args.n_val
+
+    with open(PROBLEM) as f:
+        labels = json.load(f)["cids2labels"]
+
+    results = {"pp": [], "weak": []}
+    for seed in range(args.seeds):
+        for arm in ("pp", "weak"):
+            m = run_arm(args.workdir, paths, arm, seed, args.ne)
+            results[arm].append(m)
+            print(f"[{arm} seed {seed}] mean IoU {m['mean_iou']:.2f}",
+                  flush=True)
+
+    def stack(arm, key):
+        return np.stack([np.asarray(m[key], float) for m in results[arm]])
+
+    miou = {a: np.array([m["mean_iou"] for m in results[a]]) for a in results}
+    ious = {a: stack(a, "ious") for a in results}
+    mask = np.all(np.isfinite(np.concatenate(list(ious.values()))), axis=0)
+
+    lines = ["| class | per-pixel only | + weak labels | delta |",
+             "|---|---:|---:|---:|"]
+    order = np.argsort(-(np.nanmean(ious["weak"], 0) - np.nanmean(ious["pp"], 0)))
+    for c in order:
+        if not mask[c]:
+            continue
+        if max(ious["pp"][:, c].max(), ious["weak"][:, c].max()) < 0.05:
+            continue  # class absent from the scenes; 0-IoU rows are noise
+        pp_m, pp_s = ious["pp"][:, c].mean(), ious["pp"][:, c].std()
+        wk_m, wk_s = ious["weak"][:, c].mean(), ious["weak"][:, c].std()
+        lines.append(
+            f"| {labels[c]} | {pp_m:.1f} ± {pp_s:.1f} | {wk_m:.1f} ± {wk_s:.1f}"
+            f" | {wk_m - pp_m:+.1f} |")
+    lines.append(
+        f"| **mean IoU** | **{miou['pp'].mean():.1f} ± {miou['pp'].std():.1f}**"
+        f" | **{miou['weak'].mean():.1f} ± {miou['weak'].std():.1f}**"
+        f" | **{miou['weak'].mean() - miou['pp'].mean():+.1f}** |")
+    table = "\n".join(lines)
+    print(table)
+
+    out = {
+        "object_rate_train": args.rate, "seeds": args.seeds,
+        "n_pp": args.n_pp, "n_weak": args.n_weak, "ne": args.ne,
+        "mean_iou_pp": [round(float(x), 2) for x in miou["pp"]],
+        "mean_iou_weak": [round(float(x), 2) for x in miou["weak"]],
+        "delta_mean": round(float(miou["weak"].mean() - miou["pp"].mean()), 2),
+        "table": table,
+    }
+    with open(os.path.join(args.workdir, "weak_ab.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "table"}))
+
+
+if __name__ == "__main__":
+    main()
