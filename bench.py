@@ -208,6 +208,9 @@ def predict_latency(samples: int = 30, warmup: int = 3):
     settings = Settings(
         per_pixel_dataset_name="cityscapes", mode="predict",
         height_feature_extractor=h, width_feature_extractor=w,
+        # A/B knob: whole-bottleneck Pallas kernels for the backbone's
+        # eval-mode identity units (ops/pallas_block.py)
+        fused_block=os.environ.get("IV_FUSED_BLOCK", "0") == "1",
     )
     model = build_model(settings)
     variables = jax.jit(model.init)(

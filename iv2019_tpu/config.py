@@ -183,6 +183,12 @@ class Settings:
     # hand-written Pallas kernel for the fused optimizer update
     # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
     pallas_update: bool = True
+    # eval/predict-mode backbone identity units as single Pallas kernels
+    # (ops/pallas_block.py): BN folded into the convs, whole unit in VMEM,
+    # ~2.7x less HBM traffic per unit. Identical parameter tree; per-unit
+    # shape/VMEM gate falls back to the unfused graph. Train mode ignores
+    # it (the BN statistics barrier — see the module docstring).
+    fused_block: bool = False
     # Pallas-fused upsample+softmax-CE+gates loss kernel (ops/fused_loss.py):
     # computes the reference losses from stride-8 logits tile-wise in VMEM
     # without materializing full-resolution f32 logit tensors (identical
@@ -521,6 +527,10 @@ def _add_system_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input_seed", type=int, default=None,
                    help="seed the host input pipelines (shuffle, crops) for "
                         "reproducible runs; default: OS entropy")
+    p.add_argument("--fused_block", action="store_true",
+                   help="eval/predict: run supported backbone identity units "
+                        "as single Pallas kernels (BN folded into the convs; "
+                        "ops/pallas_block.py). Ignored during training")
     p.add_argument("--synthetic_data", action="store_true")
 
 

@@ -368,11 +368,62 @@ class conv_norm_relu(nn.Module):
         return x
 
 
+class _BNVars(nn.Module):
+    """Raw BatchNorm variables at nn.BatchNorm's exact tree positions."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _NormVars(nn.Module):
+    """Mirror of Norm's child scope (norm/BatchNorm/...)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNVars(self.features, name="BatchNorm")()
+
+
+class _ConvNormParams(nn.Module):
+    """Parameters of a ``conv_norm_relu`` at identical tree paths —
+    ``<name>/conv/kernel`` + ``<name>/norm/BatchNorm/{scale,bias}`` (params)
+    and ``{mean,var}`` (batch_stats) — without executing it. Feeds the
+    BN-folded weights of an eval-mode unit to the fused block kernel while
+    keeping checkpoints interchangeable with the unfused path.
+    """
+
+    shape: tuple  # (kh, kw, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        kernel = _Kernel(self.shape, name="conv")()
+        return (kernel,) + tuple(_NormVars(self.shape[-1], name="norm")())
+
+
 class BottleneckV1(nn.Module):
     """slim resnet_v1.bottleneck: 1x1 / 3x3(stride, rate) / 1x1 + projection.
 
     Identity shortcut (with stride subsampling) when depth_in == depth, else
     a 1x1 projection conv + norm. Final relu after the residual add.
+
+    ``fused_block=True`` executes eval-mode identity units (stride 1,
+    batch norm on running statistics) as ONE Pallas kernel
+    (ops/pallas_block.fused_bottleneck) with the BatchNorms folded into the
+    conv weights — ~2.7x less HBM traffic than the unfused graph, same
+    parameter tree, gated to supported shapes (falls back otherwise).
     """
 
     depth: int
@@ -384,11 +435,15 @@ class BottleneckV1(nn.Module):
     use_running_average: bool = True
     conv_impl: str = "conv"
     bn_impl: str = "flax"
+    fused_block: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         depth_in = x.shape[-1]
+        fused = self._fused_path(x) if self.fused_block else None
+        if fused is not None:
+            return fused
         kw = dict(
             norm_type=self.norm_type,
             momentum=self.momentum,
@@ -412,3 +467,46 @@ class BottleneckV1(nn.Module):
             residual
         )
         return nn.relu(shortcut + residual)
+
+    def _fused_path(self, x):
+        """Whole-unit Pallas kernel for supported eval-mode identity units.
+
+        Returns None (caller falls back to the unfused graph) unless: batch
+        norm on running statistics (BN folds to an affine), identity
+        shortcut, stride 1, bf16 compute, and the kernel's static shape/VMEM
+        gate admits the unit. Declares the SAME parameter tree as the
+        unfused path, so both paths restore from the same checkpoints.
+        """
+        from iv2019_tpu.ops.pallas_block import (
+            fold_bn,
+            fused_bottleneck,
+            fused_bottleneck_supported,
+        )
+
+        depth_in = x.shape[-1]
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        if not (
+            self.norm_type == "batch"
+            and self.use_running_average
+            and self.stride == 1
+            and depth_in == self.depth
+            and self.dtype == jnp.bfloat16
+            and fused_bottleneck_supported(
+                n, h, w, depth_in, self.depth_bottleneck, self.rate
+            )
+        ):
+            return None
+        m, c = self.depth_bottleneck, self.depth
+        k1, s1, o1, mu1, v1 = _ConvNormParams((1, 1, depth_in, m), name="conv1")()
+        k2, s2, o2, mu2, v2 = _ConvNormParams((3, 3, m, m), name="conv2")()
+        k3, s3, o3, mu3, v3 = _ConvNormParams((1, 1, m, c), name="conv3")()
+        k1f, b1f = fold_bn(k1, s1, o1, mu1, v1)
+        k2f, b2f = fold_bn(k2, s2, o2, mu2, v2)
+        k3f, b3f = fold_bn(k3, s3, o3, mu3, v3)
+        return fused_bottleneck(
+            x.astype(jnp.bfloat16),
+            k1f.reshape(depth_in, m), b1f,
+            k2f, b2f,
+            k3f.reshape(m, c), b3f,
+            rate=self.rate,
+        ).astype(x.dtype)

@@ -134,6 +134,9 @@ class HierarchicalSegmentationModel(nn.Module):
     remat: bool = False  # jax.checkpoint backbone units (models/resnet.py)
     conv_impl: str = "conv"  # | "dot" (models/layers.dot_conv_same)
     bn_impl: str = "flax"  # | "fused" (ops/fused_bn custom-VJP backward)
+    # eval-mode backbone identity units as single Pallas kernels
+    # (ops/pallas_block.py; BN folded, identical parameter tree)
+    fused_block: bool = False
     dtype: Any = jnp.bfloat16
 
     def _norm_kw(self):
@@ -169,6 +172,7 @@ class HierarchicalSegmentationModel(nn.Module):
             root_wgrad_pallas=self.root_wgrad_pallas,
             conv_impl=self.conv_impl,
             bn_impl=self.bn_impl,
+            fused_block=self.fused_block,
             remat=self.remat,
             dtype=self.dtype,
             name="feature_extractor/base",
@@ -351,6 +355,7 @@ def build_model(settings: Settings) -> HierarchicalSegmentationModel:
         remat=settings.remat,
         conv_impl=settings.conv_impl,
         bn_impl=settings.bn_impl,
+        fused_block=settings.fused_block and settings.mode != "train",
         fuse_adaptation=settings.fuse_adaptation,
         norm_type=settings.norm_layer,
         batch_norm_decay=settings.batch_norm_decay,

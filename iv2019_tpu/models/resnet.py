@@ -278,6 +278,9 @@ class ResNetV1(nn.Module):
     root_wgrad_pallas: bool = False  # Pallas kernel for the root-conv wgrad
     conv_impl: str = "conv"  # | "dot" (every unit conv as MXU matmuls)
     bn_impl: str = "flax"  # | "fused" (ops/fused_bn custom-VJP backward)
+    # eval-mode identity units as single Pallas kernels (BN folded; see
+    # ops/pallas_block.py); falls back per-unit outside the shape/VMEM gate
+    fused_block: bool = False
     # jax.checkpoint every bottleneck unit: backward recomputes the unit's
     # internal activations (two convs + norms) from its input instead of
     # storing them — identical numerics and batch_stats, ~1/3 extra
@@ -294,6 +297,7 @@ class ResNetV1(nn.Module):
             use_running_average=self.use_running_average,
             conv_impl=self.conv_impl,
             bn_impl=self.bn_impl,
+            fused_block=self.fused_block,
             dtype=self.dtype,
         )
         # root (slim names: resnet_v1_50/conv1)

@@ -124,3 +124,88 @@ def test_supported_gate():
     assert not fused_bottleneck_supported(16, 64, 128, 1024, 64, 2)
     # H not divisible by the stripe height -> fallback
     assert not fused_bottleneck_supported(16, 60, 128, 1024, 256, 2)
+
+
+def _randomize_stats(variables, rng):
+    """Perturb BN scale/bias/mean/var so folding is exercised non-trivially."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    out = {}
+    for k, v in flat.items():
+        leaf = k[-1]
+        if leaf in ("scale", "bias"):
+            out[k] = jnp.asarray(
+                rng.uniform(0.6, 1.4, v.shape) if leaf == "scale"
+                else rng.uniform(-0.3, 0.3, v.shape), v.dtype)
+        elif leaf == "mean":
+            out[k] = jnp.asarray(rng.uniform(-0.2, 0.2, v.shape), v.dtype)
+        elif leaf == "var":
+            out[k] = jnp.asarray(rng.uniform(0.4, 1.1, v.shape), v.dtype)
+        else:
+            out[k] = v
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def test_bottleneck_fused_flag_matches_unfused():
+    """Same variables, fused_block on/off -> same eval output (folded-BN tol)."""
+    from iv2019_tpu.models.layers import BottleneckV1
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 128)), jnp.bfloat16)
+    kw = dict(depth=128, depth_bottleneck=128, stride=1, rate=2,
+              use_running_average=True, dtype=jnp.bfloat16)
+    unfused = BottleneckV1(fused_block=False, **kw)
+    fused = BottleneckV1(fused_block=True, **kw)
+
+    variables = unfused.init(jax.random.PRNGKey(0), x)
+    variables = _randomize_stats(variables, rng)
+    # identical trees: fused path declares the same params/batch_stats
+    v2 = fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+        variables
+    )
+
+    yu = np.asarray(unfused.apply(variables, x), np.float32)
+    yf = np.asarray(fused.apply(variables, x), np.float32)
+    err = np.abs(yu - yf) / np.maximum(1.0, np.abs(yu))
+    assert err.max() < 1.5e-1, err.max()
+    assert np.median(np.abs(yu - yf)) < 2e-2
+
+
+def test_resnet_fused_flag_matches_unfused():
+    """Backbone-level: projection unit falls back, identity unit fuses.
+
+    Pointwise fused-vs-unfused tails are intrinsic bf16 dispersion (the
+    unfused path rounds conv outputs to bf16 BEFORE the BN affine; the
+    fused path folds BN into the conv weights — near BN-cancellation points
+    the two roundings legitimately diverge), so the assertion is against a
+    float32 ground-truth model: the fused path must approximate it at least
+    as well as the unfused bf16 path does. A wiring bug (halo, shift, wrong
+    unit fused) fails this by orders of magnitude.
+    """
+    from iv2019_tpu.models.resnet import ResNetV1
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 64, 64, 3)), jnp.float32)
+    kw = dict(blocks=((2, 128, 128),), output_stride=8,
+              use_running_average=True)
+    unfused = ResNetV1(fused_block=False, **kw)
+    fused = ResNetV1(fused_block=True, **kw)
+    truth = ResNetV1(fused_block=False, dtype=jnp.float32, **kw)
+
+    variables = unfused.init(jax.random.PRNGKey(0), x)
+    variables = _randomize_stats(variables, rng)
+    yu = np.asarray(unfused.apply(variables, x)[0], np.float32)
+    yf = np.asarray(fused.apply(variables, x)[0], np.float32)
+    yt = np.asarray(truth.apply(variables, x)[0], np.float32)
+
+    def rel(a, b):
+        return np.abs(a - b) / np.maximum(1.0, np.abs(b))
+
+    eu, ef = rel(yu, yt), rel(yf, yt)
+    assert ef.mean() < 1.3 * eu.mean() + 1e-5, (ef.mean(), eu.mean())
+    assert np.quantile(ef, 0.99) < 1.3 * np.quantile(eu, 0.99) + 1e-4
+    assert ef.max() < 2 * eu.max() + 1e-3, (ef.max(), eu.max())
+    # and the two bf16 paths still agree in aggregate
+    assert rel(yf, yu).mean() < 1e-2
