@@ -183,6 +183,12 @@ class Settings:
     # hand-written Pallas kernel for the fused optimizer update
     # (ops/pallas_update.py; identical results). Auto-disabled on CPU.
     pallas_update: bool = True
+    # weight of the weak (L2 vehicle/human) losses in the total:
+    # total = L1 + coeff * (L2_vehicle + L2_human). The reference hardcodes
+    # 0.1 (define_losses_hierarchical.py:203); exposed here as the main
+    # knob for balancing weak-supervision signal against dense GT when the
+    # per-pixel/weak data mix departs from the paper's
+    weak_loss_coefficient: float = 0.1
     # eval/predict-mode backbone identity units as single Pallas kernels
     # (ops/pallas_block.py): BN folded into the convs, whole unit in VMEM,
     # ~2.7x less HBM traffic per unit. Identical parameter tree; per-unit
@@ -585,6 +591,10 @@ def _add_train_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--Nb_per_pixel", type=int, default=None)
     p.add_argument("--Nb_per_bbox", type=int, default=None)
     p.add_argument("--Nb_per_image", type=int, default=None)
+    p.add_argument("--weak_loss_coefficient", type=float, default=0.1,
+                   help="weight of the L2 vehicle/human (weak) losses in the "
+                        "total; the reference hardcodes 0.1 "
+                        "(define_losses_hierarchical.py:203)")
     p.add_argument("--augmentations", type=str, default="",
                    help="comma list from {color,blur,flip,scale}; default off "
                         "(reference parity: call sites disabled, "

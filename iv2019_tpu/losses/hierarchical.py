@@ -90,6 +90,7 @@ def define_losses(
     predictions: Mapping[str, Any],
     labels: Mapping[str, Any],
     taxonomy: Taxonomy,
+    weak_loss_coefficient: float = WEAK_LOSS_COEFFICIENT,
 ) -> dict[str, jnp.ndarray]:
     """Training losses for the mixed-supervision batch.
 
@@ -165,7 +166,7 @@ def define_losses(
         tax.cid_l1_human, n_pp,
     )
 
-    seg_loss = l1_loss + WEAK_LOSS_COEFFICIENT * (l2_vehicle_loss + l2_human_loss)
+    seg_loss = l1_loss + weak_loss_coefficient * (l2_vehicle_loss + l2_human_loss)
     return {
         "total": seg_loss,
         "l1_segmentation": l1_loss,

@@ -481,6 +481,7 @@ def _compute_fused(l1_lr, veh_lr, hum_lr, pp, pb, pi, tax, out_hw, interpret):
 def define_losses_fused(
     predictions, labels, tax: Taxonomy, out_hw,
     interpret: bool | None = None, mesh=None,
+    weak_loss_coefficient: float | None = None,
 ):
     """Drop-in counterpart of losses.hierarchical.define_losses computing the
     reference losses from *stride-8* logits via the fused kernel.
@@ -596,8 +597,12 @@ def define_losses_fused(
     hum_loss = _norm(out["hum_sum"], out["hum_cnt"])
     from iv2019_tpu.losses.hierarchical import WEAK_LOSS_COEFFICIENT
 
+    coeff = (
+        WEAK_LOSS_COEFFICIENT
+        if weak_loss_coefficient is None else weak_loss_coefficient
+    )
     return {
-        "total": l1_loss + WEAK_LOSS_COEFFICIENT * (veh_loss + hum_loss),
+        "total": l1_loss + coeff * (veh_loss + hum_loss),
         "l1_segmentation": l1_loss,
         "l2_vehicle_segmentation": veh_loss,
         "l2_human_segmentation": hum_loss,

@@ -103,6 +103,12 @@ def main(argv):
                    choices=["uniform", "gaussian"])
     p.add_argument("--eval_flip", action="store_true")
     p.add_argument("--eval_scales", type=float, nargs="*", default=[1.0])
+    p.add_argument("--fused_block", action="store_true",
+                   help="whole-bottleneck Pallas kernels for supported "
+                        "identity units (ops/pallas_block.py). The exported "
+                        "module carries Mosaic custom calls — consumable by "
+                        "the same-version PJRT loader, not portable "
+                        "StableHLO")
     args = p.parse_args(argv)
 
     from iv2019_tpu.config import Settings
@@ -122,6 +128,7 @@ def main(argv):
         window_blend=args.window_blend,
         eval_flip=args.eval_flip,
         eval_scales=tuple(args.eval_scales),
+        fused_block=args.fused_block,
     )
     system = SemanticSegmentation({}, settings=settings)
     s = system.settings.replace(mode="predict")

@@ -233,11 +233,15 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
                 from iv2019_tpu.ops.fused_loss import define_losses_fused
 
                 losses = define_losses_fused(
-                    preds, labels, tax, images.shape[1:3], mesh=mesh
+                    preds, labels, tax, images.shape[1:3], mesh=mesh,
+                    weak_loss_coefficient=settings.weak_loss_coefficient,
                 )
                 decisions = losses["decisions"]
             else:
-                losses = define_losses(preds, labels, tax)
+                losses = define_losses(
+                    preds, labels, tax,
+                    weak_loss_coefficient=settings.weak_loss_coefficient,
+                )
                 decisions = preds["decisions"]
             if fused:
                 total = losses["total"]  # reg gradient added by the optimizer

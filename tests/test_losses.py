@@ -180,3 +180,32 @@ def test_l2_regularization_kernels_only():
     }
     reg = float(l2_regularization(params, weight_decay=0.1))
     assert reg == pytest.approx(0.1 * 4 / 2)
+
+
+def test_weak_loss_coefficient_knob():
+    """total = L1 + coeff * (L2v + L2h); coeff is configurable (the
+    reference hardcodes 0.1 — define_losses_hierarchical.py:203)."""
+    n_pp, n_pb = 1, 1
+    labels = {
+        "prolabels_per_pixel": jnp.zeros((n_pp, H, W), jnp.int32),
+        "prolabels_per_bbox": _car_weak(n_pb),
+        "prolabels_per_image": jnp.zeros((0, H, W, NUM_WEAK_CLASSES), jnp.float32),
+    }
+    preds = _preds(n_pp + n_pb, l1_decision_value=TAX.cid_l1_vehicle)
+
+    default = define_losses(preds, labels, TAX)
+    assert float(default["total"]) == pytest.approx(
+        float(default["l1_segmentation"])
+        + WEAK_LOSS_COEFFICIENT
+        * (float(default["l2_vehicle_segmentation"])
+           + float(default["l2_human_segmentation"])), rel=1e-6)
+
+    off = define_losses(preds, labels, TAX, weak_loss_coefficient=0.0)
+    assert float(off["total"]) == pytest.approx(
+        float(off["l1_segmentation"]), rel=1e-6)
+
+    double = define_losses(preds, labels, TAX, weak_loss_coefficient=0.2)
+    assert float(double["total"]) == pytest.approx(
+        float(double["l1_segmentation"])
+        + 0.2 * (float(double["l2_vehicle_segmentation"])
+                 + float(double["l2_human_segmentation"])), rel=1e-6)

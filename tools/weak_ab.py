@@ -53,7 +53,7 @@ def _run(module, args, timeout=3600):
     return proc
 
 
-def run_arm(workdir, paths, arm, seed, ne):
+def run_arm(workdir, paths, arm, seed, ne, coeff=0.1):
     log_dir = os.path.join(workdir, f"{arm}_s{seed}")
     nb_weak = ("8", "4") if arm == "weak" else ("0", "0")
     _run("iv2019_tpu.train_cli", [
@@ -68,6 +68,7 @@ def run_arm(workdir, paths, arm, seed, ne):
         "--Nb_per_bbox", nb_weak[0], "--Nb_per_image", nb_weak[1],
         "--learning_rate_boundaries", str(ne * 2 // 3), str(ne * 5 // 6),
         "--learning_rate_values", "0.01", "0.005", "0.0025",
+        "--weak_loss_coefficient", str(coeff),
         "--random_seed", str(seed), "--input_seed", str(seed),
     ])
     _run("iv2019_tpu.evaluate_cli", [
@@ -89,6 +90,8 @@ def main():
     p.add_argument("--n_weak", type=int, default=256)
     p.add_argument("--n_val", type=int, default=48)
     p.add_argument("--ne", type=int, default=48)
+    p.add_argument("--coeff", type=float, default=0.1,
+                   help="--weak_loss_coefficient for the weak arm")
     args = p.parse_args()
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -107,7 +110,8 @@ def main():
     results = {"pp": [], "weak": []}
     for seed in range(args.seeds):
         for arm in ("pp", "weak"):
-            m = run_arm(args.workdir, paths, arm, seed, args.ne)
+            m = run_arm(args.workdir, paths, arm, seed, args.ne,
+                        coeff=args.coeff)
             results[arm].append(m)
             print(f"[{arm} seed {seed}] mean IoU {m['mean_iou']:.2f}",
                   flush=True)
@@ -141,6 +145,7 @@ def main():
 
     out = {
         "object_rate_train": args.rate, "seeds": args.seeds,
+        "weak_loss_coefficient": args.coeff,
         "n_pp": args.n_pp, "n_weak": args.n_weak, "ne": args.ne,
         "mean_iou_pp": [round(float(x), 2) for x in miou["pp"]],
         "mean_iou_weak": [round(float(x), 2) for x in miou["weak"]],
