@@ -240,6 +240,61 @@ def predict_latency(samples: int = 30, warmup: int = 3):
     }))
 
 
+def eval_throughput(steps: int = 12, warmup: int = 3, nb: int = 8):
+    """Eval-step throughput at the flagship shape (``python bench.py eval``).
+
+    The fused-block A/B surface at batch: ``IV_FUSED_BLOCK=1`` runs the
+    backbone's supported identity units as whole-bottleneck Pallas kernels
+    (ops/pallas_block.py); default is the unfused XLA graph.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from iv2019_tpu.config import Settings
+    from iv2019_tpu.models.model import build_model
+    from iv2019_tpu.train.step import make_eval_step
+
+    h, w = (int(x) for x in os.environ.get("IV_SHAPE", "512x1024").split("x"))
+    nb = int(os.environ.get("IV_NB", nb))
+    fused = os.environ.get("IV_FUSED_BLOCK", "0") == "1"
+    settings = Settings(
+        per_pixel_dataset_name="cityscapes", mode="eval", Nb=nb,
+        height_feature_extractor=h, width_feature_extractor=w,
+        fused_block=fused,
+        training_problem_def_path=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "iv2019_tpu",
+            "problem_definitions", "cityscapes", "problem01.json",
+        ),
+    )
+    model = build_model(settings)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3), jnp.float32)
+    )
+    eval_fn = make_eval_step(settings, model=model)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (nb, h, w, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 20, (nb, 2 * h, 2 * w)).astype(np.int32))
+
+    for _ in range(warmup):
+        cm = eval_fn(variables["params"], variables["batch_stats"], images, labels)
+    float(np.asarray(cm)[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        cm = eval_fn(variables["params"], variables["batch_stats"], images, labels)
+    float(np.asarray(cm)[0, 0])  # serial device queue: last done => all done
+    dt = time.perf_counter() - t0
+    ips = steps * nb / dt
+    print(json.dumps({
+        "metric": "eval_images_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": "img/s",
+        "vs_baseline": None,
+        "detail": {"step_time_ms": round(dt / steps * 1e3, 2), "Nb": nb,
+                   "fused_block": fused, "input_hw": [h, w],
+                   "device": str(jax.devices()[0].device_kind)},
+    }))
+
+
 def _build_synthetic_input_data(tmp: str, rng) -> dict:
     """On-disk synthetic dataset in the real formats: PNG-encoded
     cityscapes-like TFRecords + JPEG OpenImages images + bbox/image-label
@@ -576,6 +631,8 @@ if __name__ == "__main__":
             input_worker_scaling(ws, stage_ms=ms)
         else:
             input_pipeline_throughput()
+    elif len(sys.argv) > 1 and sys.argv[1] == "eval":
+        eval_throughput(steps=int(sys.argv[2]) if len(sys.argv) > 2 else 12)
     elif len(sys.argv) > 1 and sys.argv[1] == "e2e":
         e2e_throughput(steps=int(sys.argv[2]) if len(sys.argv) > 2 else 20)
     else:

@@ -224,13 +224,16 @@ def _kernel(th, r, hh, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
 
 @functools.partial(jax.jit, static_argnames=("rate", "th", "interpret"))
 def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, *, rate, th=8,
-                     interpret=False):
+                     interpret=None):
     """relu(x + conv1x1_3(relu(conv3x3_rate(relu(conv1x1_1(x)))))).
 
     x: (N,H,W,C) bf16; w1: (C,M) bf16; w2: (3,3,M,M) bf16 (dilation
     ``rate``, SAME); w3: (M,C) bf16; b*: f32 folded-BN biases. Returns
     (N,H,W,C) in x.dtype.
     """
+    if interpret is None:
+        # Mosaic needs a real TPU; tests exercise the kernel via interpreter
+        interpret = jax.default_backend() not in ("tpu", "axon")
     n, hh, w, c = x.shape
     m = w1.shape[1]
     assert fused_bottleneck_supported(n, hh, w, c, m, rate, th), (

@@ -26,6 +26,7 @@ import argparse
 import json
 import os
 import pickle
+import shutil
 import subprocess
 import sys
 
@@ -53,8 +54,32 @@ def _run(module, args, timeout=3600):
     return proc
 
 
+def _arm_metrics(log_dir):
+    """Latest eval metrics of a finished arm, or None."""
+    try:
+        eval_dirs = sorted(
+            d for d in os.listdir(log_dir) if d.startswith("eval_")
+        )
+        with open(os.path.join(log_dir, eval_dirs[-1], "all_metrics.p"),
+                  "rb") as f:
+            return pickle.load(f)[-1]
+    except (OSError, IndexError):
+        return None
+
+
 def run_arm(workdir, paths, arm, seed, ne, coeff=0.1):
+    """Train + evaluate one arm. Resumable: a finished arm (its eval
+    artifact exists) is reused, so a killed sweep — or a coefficient sweep
+    that copies the coeff-independent pp_s* dirs in — skips straight to
+    the missing arms."""
     log_dir = os.path.join(workdir, f"{arm}_s{seed}")
+    done = _arm_metrics(log_dir)
+    if done is not None:
+        print(f"[{arm} seed {seed}] reusing {log_dir}", flush=True)
+        return done
+    if os.path.isdir(log_dir):  # train started but never reached eval
+        print(f"[{arm} seed {seed}] clearing partial {log_dir}", flush=True)
+        shutil.rmtree(log_dir)
     nb_weak = ("8", "4") if arm == "weak" else ("0", "0")
     _run("iv2019_tpu.train_cli", [
         log_dir, "cityscapes",
