@@ -67,16 +67,62 @@ def _arm_metrics(log_dir):
         return None
 
 
-def run_arm(workdir, paths, arm, seed, ne, coeff=0.1):
-    """Train + evaluate one arm. Resumable: a finished arm (its eval
-    artifact exists) is reused, so a killed sweep — or a coefficient sweep
-    that copies the coeff-independent pp_s* dirs in — skips straight to
-    the missing arms."""
-    log_dir = os.path.join(workdir, f"{arm}_s{seed}")
+def _state_key(arm, seed, coeff, cfg):
+    return json.dumps(
+        {"arm": arm, "seed": seed,
+         "coeff": coeff if arm == "weak" else None, **cfg},
+        sort_keys=True)
+
+
+def _load_state(path):
+    """Completed-arm metrics persisted across sessions (one JSON per line).
+
+    The arm checkpoints live in the (ephemeral) workdir; only the final
+    eval metrics are needed to aggregate, so those are appended here as
+    each arm finishes. Pointing --state at a file inside the repo makes a
+    multi-session sweep resumable even when the workdir is lost."""
+    state = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                state[_state_key(rec["arm"], rec["seed"],
+                                 rec.get("coeff"), rec["config"])] = rec["metrics"]
+    except OSError:
+        pass
+    return state
+
+
+def run_arm(workdir, paths, arm, seed, ne, coeff=0.1, state=None,
+            state_path=None, cfg=None):
+    """Train + evaluate one arm. Resumable two ways: a finished arm in the
+    workdir (its eval artifact exists) is reused, and an arm recorded in
+    the --state file is reused even after the workdir is gone. Non-default
+    coefficients get their own weak-arm dirs (weak_c{coeff}_s{seed}), so a
+    coefficient sweep in the SAME workdir reuses the coeff-independent
+    pp_s* arms and retrains only weak arms."""
+    key = _state_key(arm, seed, coeff, cfg or {})
+    if state is not None and key in state:
+        print(f"[{arm} seed {seed}] reusing persisted metrics", flush=True)
+        return state[key]
+
+    def _record(metrics):
+        if state_path:
+            rec = {"arm": arm, "seed": seed,
+                   "coeff": coeff if arm == "weak" else None,
+                   "config": cfg or {},
+                   "metrics": {k: (v.tolist() if hasattr(v, "tolist") else v)
+                               for k, v in metrics.items()}}
+            with open(state_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return metrics
+
+    name = arm if arm == "pp" or coeff == 0.1 else f"weak_c{coeff}"
+    log_dir = os.path.join(workdir, f"{name}_s{seed}")
     done = _arm_metrics(log_dir)
     if done is not None:
         print(f"[{arm} seed {seed}] reusing {log_dir}", flush=True)
-        return done
+        return _record(done)
     if os.path.isdir(log_dir):  # train started but never reached eval
         print(f"[{arm} seed {seed}] clearing partial {log_dir}", flush=True)
         shutil.rmtree(log_dir)
@@ -103,7 +149,7 @@ def run_arm(workdir, paths, arm, seed, ne, coeff=0.1):
     ])
     eval_dir = sorted(d for d in os.listdir(log_dir) if d.startswith("eval_"))[-1]
     with open(os.path.join(log_dir, eval_dir, "all_metrics.p"), "rb") as f:
-        return pickle.load(f)[-1]
+        return _record(pickle.load(f)[-1])
 
 
 def main():
@@ -117,6 +163,9 @@ def main():
     p.add_argument("--ne", type=int, default=48)
     p.add_argument("--coeff", type=float, default=0.1,
                    help="--weak_loss_coefficient for the weak arm")
+    p.add_argument("--state", default=None,
+                   help="JSONL of completed-arm metrics; arms recorded "
+                        "there are never retrained (survives workdir loss)")
     args = p.parse_args()
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -132,11 +181,16 @@ def main():
     with open(PROBLEM) as f:
         labels = json.load(f)["cids2labels"]
 
+    cfg = {"rate": args.rate, "n_pp": args.n_pp, "n_weak": args.n_weak,
+           "n_val": args.n_val, "ne": args.ne}
+    state = _load_state(args.state) if args.state else None
+
     results = {"pp": [], "weak": []}
     for seed in range(args.seeds):
         for arm in ("pp", "weak"):
             m = run_arm(args.workdir, paths, arm, seed, args.ne,
-                        coeff=args.coeff)
+                        coeff=args.coeff, state=state,
+                        state_path=args.state, cfg=cfg)
             results[arm].append(m)
             print(f"[{arm} seed {seed}] mean IoU {m['mean_iou']:.2f}",
                   flush=True)
@@ -168,6 +222,19 @@ def main():
     table = "\n".join(lines)
     print(table)
 
+    # Seeds are paired across arms (same --random_seed/--input_seed), so the
+    # per-seed delta is the headline statistic: its sign being constant across
+    # seeds is what separates a measurement from noise.
+    paired = miou["weak"] - miou["pp"]
+    paired_line = (
+        "paired mean-IoU delta per seed: "
+        + ", ".join(f"{d:+.2f}" for d in paired)
+        + f" -> {paired.mean():+.2f} ± {paired.std():.2f}"
+        + (" (same sign across all seeds)"
+           if np.all(paired > 0) or np.all(paired < 0) else "")
+    )
+    print(paired_line)
+
     out = {
         "object_rate_train": args.rate, "seeds": args.seeds,
         "weak_loss_coefficient": args.coeff,
@@ -175,6 +242,8 @@ def main():
         "mean_iou_pp": [round(float(x), 2) for x in miou["pp"]],
         "mean_iou_weak": [round(float(x), 2) for x in miou["weak"]],
         "delta_mean": round(float(miou["weak"].mean() - miou["pp"].mean()), 2),
+        "paired_deltas": [round(float(d), 2) for d in paired],
+        "paired": paired_line,
         "table": table,
     }
     with open(os.path.join(args.workdir, "weak_ab.json"), "w") as f:
