@@ -23,6 +23,7 @@ Writes WORKDIR/weak_ab.json and prints a markdown table for QUALITY.md.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import pickle
@@ -74,20 +75,45 @@ def _state_key(arm, seed, coeff, cfg):
         sort_keys=True)
 
 
+def _cfg_tag(cfg):
+    """Short hash of the sweep config, embedded in workdir arm-dir names so a
+    rerun with a different --rate/--ne/--n_pp never harvests a stale arm."""
+    return hashlib.sha1(
+        json.dumps(cfg or {}, sort_keys=True).encode()).hexdigest()[:8]
+
+
+def _sanitize(v):
+    """NaN -> None recursively so the state file is strict JSON (jq-safe)."""
+    if isinstance(v, float) and v != v:
+        return None
+    if isinstance(v, list):
+        return [_sanitize(x) for x in v]
+    return v
+
+
 def _load_state(path):
     """Completed-arm metrics persisted across sessions (one JSON per line).
 
     The arm checkpoints live in the (ephemeral) workdir; only the final
     eval metrics are needed to aggregate, so those are appended here as
     each arm finishes. Pointing --state at a file inside the repo makes a
-    multi-session sweep resumable even when the workdir is lost."""
+    multi-session sweep resumable even when the workdir is lost. Lines
+    truncated by a mid-append crash (or hand-edited) are skipped with a
+    warning rather than blocking the resume they exist to provide."""
     state = {}
     try:
         with open(path) as f:
-            for line in f:
-                rec = json.loads(line)
-                state[_state_key(rec["arm"], rec["seed"],
-                                 rec.get("coeff"), rec["config"])] = rec["metrics"]
+            for lineno, line in enumerate(f, 1):
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                    state[_state_key(rec["arm"], rec["seed"],
+                                     rec.get("coeff"),
+                                     rec["config"])] = rec["metrics"]
+                except (json.JSONDecodeError, KeyError, TypeError) as e:
+                    print(f"[state] skipping bad line {lineno} of {path}: {e}",
+                          file=sys.stderr)
     except OSError:
         pass
     return state
@@ -111,14 +137,15 @@ def run_arm(workdir, paths, arm, seed, ne, coeff=0.1, state=None,
             rec = {"arm": arm, "seed": seed,
                    "coeff": coeff if arm == "weak" else None,
                    "config": cfg or {},
-                   "metrics": {k: (v.tolist() if hasattr(v, "tolist") else v)
+                   "metrics": {k: _sanitize(v.tolist()
+                                            if hasattr(v, "tolist") else v)
                                for k, v in metrics.items()}}
             with open(state_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+                f.write(json.dumps(rec, allow_nan=False) + "\n")
         return metrics
 
     name = arm if arm == "pp" or coeff == 0.1 else f"weak_c{coeff}"
-    log_dir = os.path.join(workdir, f"{name}_s{seed}")
+    log_dir = os.path.join(workdir, f"{name}_s{seed}_{_cfg_tag(cfg)}")
     done = _arm_metrics(log_dir)
     if done is not None:
         print(f"[{arm} seed {seed}] reusing {log_dir}", flush=True)
