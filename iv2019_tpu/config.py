@@ -18,7 +18,6 @@ import dataclasses
 import json
 import os
 import sys
-import warnings
 from typing import Any, Optional
 
 __all__ = ["Settings", "build_argparser", "settings_from_args", "TRAIN", "EVAL", "PREDICT"]
@@ -386,15 +385,15 @@ class Settings:
                         f"{name}={nb} (equal microbatch slices per supervision "
                         "type)."
                     )
-        if self.bootstrapping_percentage != -1:
-            # dead flag in the reference too (registered at utils/utils.py:114,
-            # never consumed anywhere); kept for CLI parity but warn so nobody
-            # trains a sweep believing it does something
-            warnings.warn(
-                "--bootstrapping_percentage is accepted for reference CLI "
-                "parity but has no effect (it is unused in the reference as "
-                "well: registered at utils/utils.py:114, never consumed).",
-                stacklevel=2,
+        if self.bootstrapping_percentage != -1 and not (
+            1 <= self.bootstrapping_percentage <= 100
+        ):
+            # registered-but-unconsumed in the reference (utils/utils.py:114);
+            # here it is functional: bootstrapped CE keeps the top-p% hardest
+            # per-pixel losses (losses/hierarchical.py:bootstrap_weights)
+            raise ValueError(
+                "--bootstrapping_percentage must be -1 (off) or in [1, 100], "
+                f"got {self.bootstrapping_percentage}"
             )
         if self.openimages_label_space not in ("v1", "v2"):
             raise ValueError(
@@ -582,7 +581,12 @@ def _add_train_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--optimizer", type=str, default="SGDM", choices=["SGD", "SGDM"])
     p.add_argument("--ema_decay", type=float, default=0.9)
     p.add_argument("--regularization_weight", type=float, default=0.00017)
-    p.add_argument("--bootstrapping_percentage", type=int, default=-1)
+    p.add_argument(
+        "--bootstrapping_percentage", type=int, default=-1,
+        help="bootstrapped CE: keep only the top-p%% hardest (highest-loss) "
+        "non-void pixels in the L1 loss; -1 disables (reference registers "
+        "this flag at utils/utils.py:114 but never consumes it)",
+    )
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--use_nesterov", action="store_true")
     p.add_argument("--distribute", action="store_true")

@@ -22,6 +22,7 @@ from typing import Iterator, Optional
 import numpy as np
 from PIL import Image
 
+from iv2019_tpu import native
 from iv2019_tpu.config import Settings
 from iv2019_tpu.input import core
 from iv2019_tpu.input.tfrecord import parse_example, read_tfrecords
@@ -31,6 +32,11 @@ __all__ = ["train_input", "evaluate_input", "synthetic_train_batches"]
 
 
 def _decode(buf: bytes) -> np.ndarray:
+    # native libpng/libjpeg decode is GIL-free (PIL-parity-tested,
+    # tests/test_native.py); PIL remains the fallback + oracle
+    arr = native.decode_image(buf)
+    if arr is not None:
+        return arr
     return np.asarray(Image.open(io.BytesIO(buf)))
 
 

@@ -16,6 +16,7 @@ from typing import Iterator
 import numpy as np
 from PIL import Image
 
+from iv2019_tpu import native
 from iv2019_tpu.config import Settings
 from iv2019_tpu.input import core
 
@@ -46,10 +47,18 @@ def predict_input(settings: Settings) -> Iterator[dict]:
     )
 
     def _load(path: str) -> dict:
-        img = Image.open(path)
-        if img.mode != "RGB":
-            img = img.convert("RGB")
-        raw = np.asarray(img)
+        with open(path, "rb") as f:
+            buf = f.read()
+        # GIL-free native decode with RGB coercion where supported
+        # (png/jpeg); PIL fallback handles ppm and exotic modes
+        raw = native.decode_image(buf, force_rgb=True)
+        if raw is None:
+            import io as _io
+
+            img = Image.open(_io.BytesIO(buf))
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            raw = np.asarray(img)
         image = core.convert_image_dtype(raw)
         pro, _ = core.resize_images_and_labels(
             image, None, hw, preserve_aspect_ratio=settings.preserve_aspect_ratio

@@ -26,6 +26,7 @@ the identical jnp kernel can run on device). ``MAX_N_BBOXES`` padding
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import pickle
@@ -34,6 +35,7 @@ from typing import Iterator, Optional
 import numpy as np
 from PIL import Image
 
+from iv2019_tpu import native
 from iv2019_tpu.config import Settings
 from iv2019_tpu.input import core
 from iv2019_tpu.ops.rasterize import (
@@ -84,7 +86,15 @@ def _load_mapping(path: str) -> dict:
 
 
 def _read_image(image_dir: str, imageid: str) -> np.ndarray:
-    img = Image.open(os.path.join(image_dir, imageid + ".jpg"))
+    path = os.path.join(image_dir, imageid + ".jpg")
+    with open(path, "rb") as f:
+        buf = f.read()
+    # GIL-free libjpeg decode with RGB coercion (PIL-parity-tested); PIL
+    # fallback covers exotic color spaces (CMYK) and missing codec libs
+    arr = native.decode_image(buf, force_rgb=True)
+    if arr is not None:
+        return arr
+    img = Image.open(io.BytesIO(buf))
     if img.mode != "RGB":
         img = img.convert("RGB")
     return np.asarray(img)

@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from iv2019_tpu.ops.segment_ops import gather_cids, segment_sum_channels
 from iv2019_tpu.problem.taxonomy import Taxonomy
 
-__all__ = ["define_losses", "l2_regularization", "weighted_loss"]
+__all__ = [
+    "define_losses",
+    "l2_regularization",
+    "weighted_loss",
+    "bootstrap_weights",
+]
 
 WEAK_LOSS_COEFFICIENT = 0.1  # reference :203
 
@@ -45,6 +50,33 @@ def weighted_loss(raw_loss, weights):
     num_present = jnp.sum(weights != 0.0)
     total = jnp.sum(raw_loss * weights)
     return jnp.where(num_present > 0, total / jnp.maximum(num_present, 1.0), 0.0)
+
+
+def bootstrap_weights(raw_loss, weights, percentage: int):
+    """Online hard-example mining: keep the top-``percentage``% highest-loss
+    pixels among the currently-weighted ones, zeroing the rest.
+
+    Realizes ``--bootstrapping_percentage``. The reference registers the flag
+    (utils/utils.py:114-115, "percentage of pixels ... for bootstrapping") but
+    never consumes it; the semantics here follow the flag's documented intent —
+    bootstrapped CE (Wu et al. 2016, arXiv:1605.06885): the keep-threshold is
+    the k-th largest valid per-pixel loss with k = max(1, floor(valid·p/100)),
+    computed batch-globally so scarce hard classes compete fairly across
+    images. Ties at the threshold are kept (may retain slightly more than k).
+
+    TPU notes: one static-shape descending sort + a dynamic gather for the
+    threshold — everything stays inside jit, no host sync, no dynamic shapes.
+    """
+    flat_loss = raw_loss.reshape(-1).astype(jnp.float32)
+    flat_w = weights.reshape(-1).astype(jnp.float32)
+    valid = flat_w != 0.0
+    num_valid = jnp.sum(valid.astype(jnp.int32))
+    masked = jnp.where(valid, flat_loss, jnp.finfo(jnp.float32).min)
+    sorted_desc = jnp.sort(masked)[::-1]
+    k = jnp.maximum(num_valid * percentage // 100, 1)
+    thr = sorted_desc[jnp.clip(k - 1, 0, masked.size - 1)]
+    keep = jnp.logical_and(flat_loss >= thr, valid)
+    return (flat_w * keep.astype(jnp.float32)).reshape(weights.shape)
 
 
 def _sparse_softmax_ce(logits, labels):
@@ -91,6 +123,7 @@ def define_losses(
     labels: Mapping[str, Any],
     taxonomy: Taxonomy,
     weak_loss_coefficient: float = WEAK_LOSS_COEFFICIENT,
+    bootstrapping_percentage: int = -1,
 ) -> dict[str, jnp.ndarray]:
     """Training losses for the mixed-supervision batch.
 
@@ -122,6 +155,10 @@ def define_losses(
     l1_weights = (l1_labels <= int(tax.per_pixel_cids2l1_cids.max()) - 1).astype(
         jnp.float32
     )
+    if bootstrapping_percentage != -1:
+        # bootstrapped CE on the root head only: the L2 heads' weights encode
+        # the paper's decision-gating mechanism and stay untouched.
+        l1_weights = bootstrap_weights(l1_raw, l1_weights, bootstrapping_percentage)
     l1_loss = weighted_loss(l1_raw, l1_weights)
 
     # --- L2 heads: per-pixel one-hot + weak segment-sum projections ---------

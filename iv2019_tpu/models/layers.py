@@ -480,7 +480,9 @@ class BottleneckV1(nn.Module):
         from iv2019_tpu.ops.pallas_block import (
             fold_bn,
             fused_bottleneck,
+            fused_bottleneck_ct,
             fused_bottleneck_supported,
+            pick_ct_config,
         )
 
         depth_in = x.shape[-1]
@@ -491,10 +493,18 @@ class BottleneckV1(nn.Module):
             and self.stride == 1
             and depth_in == self.depth
             and self.dtype == jnp.bfloat16
-            and fused_bottleneck_supported(
-                n, h, w, depth_in, self.depth_bottleneck, self.rate
-            )
         ):
+            return None
+        # prefer the full-window kernel (x resident: one HBM read of x);
+        # when its VMEM gate rejects (block4: C=2048), the channel-tiled
+        # rolling kernel takes over (x read twice, mids never materialized)
+        full = fused_bottleneck_supported(
+            n, h, w, depth_in, self.depth_bottleneck, self.rate
+        )
+        ct_cfg = None if full else pick_ct_config(
+            n, h, w, depth_in, self.depth_bottleneck, self.rate
+        )
+        if not full and ct_cfg is None:
             return None
         m, c = self.depth_bottleneck, self.depth
         k1, s1, o1, mu1, v1 = _ConvNormParams((1, 1, depth_in, m), name="conv1")()
@@ -503,10 +513,19 @@ class BottleneckV1(nn.Module):
         k1f, b1f = fold_bn(k1, s1, o1, mu1, v1)
         k2f, b2f = fold_bn(k2, s2, o2, mu2, v2)
         k3f, b3f = fold_bn(k3, s3, o3, mu3, v3)
-        return fused_bottleneck(
+        if full:
+            return fused_bottleneck(
+                x.astype(jnp.bfloat16),
+                k1f.reshape(depth_in, m), b1f,
+                k2f, b2f,
+                k3f.reshape(m, c), b3f,
+                rate=self.rate,
+            ).astype(x.dtype)
+        th, ct = ct_cfg
+        return fused_bottleneck_ct(
             x.astype(jnp.bfloat16),
             k1f.reshape(depth_in, m), b1f,
             k2f, b2f,
             k3f.reshape(m, c), b3f,
-            rate=self.rate,
+            rate=self.rate, th=th, ct=ct,
         ).astype(x.dtype)

@@ -27,18 +27,38 @@ import numpy as np
 
 __all__ = [
     "available",
+    "decode_available",
     "resize_bilinear_f32",
     "resize_nearest",
     "rasterize_bboxes",
     "u8_to_f32",
     "map_lut_i32",
+    "decode_image",
 ]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "fastops.cpp")
+_DECODE_SRC = os.path.join(_DIR, "decode.cpp")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_DECODE_LIB: Optional[ctypes.CDLL] = None
+_DECODE_TRIED = False
+
+
+def _compile(src: str, stem: str, extra_flags=()) -> Optional[ctypes.CDLL]:
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_DIR, f"_{stem}_{digest}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + ".tmp"
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             "-o", tmp, src, *extra_flags],
+            check=True, capture_output=True,
+        )
+        os.replace(tmp, so_path)
+    return ctypes.CDLL(so_path)
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
@@ -48,23 +68,36 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             return _LIB
         _TRIED = True
         try:
-            with open(_SRC, "rb") as f:
-                digest = hashlib.sha256(f.read()).hexdigest()[:16]
-            so_path = os.path.join(_DIR, f"_fastops_{digest}.so")
-            if not os.path.exists(so_path):
-                tmp = so_path + ".tmp"
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-o", tmp, _SRC],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp, so_path)
-            lib = ctypes.CDLL(so_path)
+            lib = _compile(_SRC, "fastops")
             _declare(lib)
             _LIB = lib
         except Exception:
             _LIB = None
         return _LIB
+
+
+def _build_and_load_decode() -> Optional[ctypes.CDLL]:
+    """decode.cpp links the system libjpeg/libpng; built separately so a
+    box without those dev packages still gets the dependency-free fastops."""
+    global _DECODE_LIB, _DECODE_TRIED
+    with _LOCK:
+        if _DECODE_LIB is not None or _DECODE_TRIED:
+            return _DECODE_LIB
+        _DECODE_TRIED = True
+        try:
+            lib = _compile(_DECODE_SRC, "fastdecode", ("-ljpeg", "-lpng"))
+            c_u8p = ctypes.POINTER(ctypes.c_uint8)
+            c_ip = ctypes.POINTER(ctypes.c_int)
+            lib.decode_info.argtypes = [
+                c_u8p, ctypes.c_int64, ctypes.c_int, c_ip, c_ip, c_ip,
+            ]
+            lib.decode_info.restype = ctypes.c_int
+            lib.decode_u8.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_int, c_u8p]
+            lib.decode_u8.restype = ctypes.c_int
+            _DECODE_LIB = lib
+        except Exception:
+            _DECODE_LIB = None
+        return _DECODE_LIB
 
 
 def _declare(lib: ctypes.CDLL) -> None:
@@ -91,6 +124,10 @@ def _declare(lib: ctypes.CDLL) -> None:
 
 def available() -> bool:
     return _build_and_load() is not None
+
+
+def decode_available() -> bool:
+    return _build_and_load_decode() is not None
 
 
 def _ptr(arr: np.ndarray, ctype):
@@ -157,6 +194,38 @@ def u8_to_f32(src: np.ndarray, center: bool = False):
         int(center),
     )
     return out
+
+
+def decode_image(buf: bytes, force_rgb: bool = False):
+    """Decode PNG/JPEG bytes GIL-free via the system libjpeg/libpng.
+
+    Parity contract (oracle = PIL, tests/test_native.py): raw mode returns
+    exactly ``np.asarray(Image.open(buf))`` for 8-bit images — palette PNGs
+    stay index maps (labels depend on this); ``force_rgb`` returns (H, W, 3)
+    like ``Image.open(buf).convert("RGB")`` (alpha dropped). Returns None for
+    anything unsupported (16-bit PNG, ppm, missing libs) — callers fall back
+    to PIL, so this path is never correctness-bearing.
+    """
+    lib = _build_and_load_decode()
+    if lib is None:
+        return None
+    data = np.frombuffer(buf, np.uint8)
+    h, w, c = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    rc = lib.decode_info(
+        _ptr(data, ctypes.c_uint8), data.size, int(force_rgb),
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+    )
+    if rc != 0 or h.value <= 0 or w.value <= 0 or c.value <= 0:
+        return None
+    out = np.empty((h.value, w.value, c.value), np.uint8)
+    rc = lib.decode_u8(
+        _ptr(data, ctypes.c_uint8), data.size, int(force_rgb),
+        _ptr(out, ctypes.c_uint8),
+    )
+    if rc != 0:
+        return None
+    # PIL returns 2-D arrays for single-channel images
+    return out[..., 0] if c.value == 1 else out
 
 
 def map_lut_i32(src: np.ndarray, table: np.ndarray):

@@ -43,7 +43,8 @@ Kernel structure (grid = (N, H/TH), one TH-row output stripe per step):
 All dots run in bf16 with f32 accumulation (`preferred_element_type`),
 matching the trunk's compute dtype. Supported shapes are gated by
 `fused_bottleneck_supported` (channel multiples of 128, VMEM budget);
-block4 (C=2048, mid 512) exceeds the ~16 MB VMEM budget and falls back.
+block4 (C=2048, mid 512) exceeds the full-window VMEM budget and runs the
+channel-tiled rolling-window variant `fused_bottleneck_ct` below instead.
 """
 
 from __future__ import annotations
@@ -55,7 +56,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_bottleneck", "fused_bottleneck_supported", "fold_bn"]
+__all__ = [
+    "fused_bottleneck",
+    "fused_bottleneck_supported",
+    "fused_bottleneck_ct",
+    "fused_bottleneck_ct_supported",
+    "pick_ct_config",
+    "fold_bn",
+]
 
 # VMEM budget for gating (bytes); v5e has ~16 MiB usable per core.
 _VMEM_BUDGET = 14 * 1024 * 1024
@@ -279,4 +287,231 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, *, rate, th=8,
         b2.astype(jnp.float32).reshape(1, m),
         w3.astype(jnp.bfloat16),
         b3.astype(jnp.float32).reshape(1, c),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Channel-tiled rolling-window variant (block4: C=2048, M=512, rate=4).
+#
+# The full-window kernel above keeps the (rows, W, C) x halo resident, which
+# at C=2048 alone exceeds VMEM. This variant restructures the unit so VMEM
+# holds only M-width state:
+#
+# - grid (N, H/TH, C/CT), iterated ct-fastest (TPU grids are sequential);
+# - a y1 RING buffer (TH+2R rows, W, M) rolls down the image: each stripe
+#   shifts it by TH rows and conv1-computes only the TH new rows — NO conv1
+#   halo recompute (the full-window kernel recomputes conv1 on halo rows,
+#   which at block4's C=2048 would cost more FLOPs than the fusion saves);
+# - conv1 reduces over C in CT-wide tiles: x tiles are manually DMA'd
+#   (double-buffered) and accumulated in one f32 (TH*W, M) accumulator;
+# - conv2 (9 tap dots) runs once per stripe (at ct==0) into a y2 scratch
+#   that persists across the stripe's ct steps;
+# - conv3 + folded bias + residual + relu stream per CT tile: x residual
+#   tiles and output tiles ride Pallas' automatic pipeline.
+#
+# HBM traffic per block4 unit image: read x twice (conv1 + residual) +
+# write out = ~100 MB vs ~134 MB for the XLA-fused unfused graph — the
+# y1/y2 mid activations (2x 16.8 MB round trips) never touch HBM.
+# ---------------------------------------------------------------------------
+
+
+def _ct_vmem_bytes(th, r, w, c, m, ct):
+    ring = (th + 2 * r) * w * m * 2
+    acc = th * w * m * 4
+    y2 = th * w * m * 2
+    xt = 2 * th * w * ct * 2           # conv1 input tiles, double-buffered
+    xres = 2 * th * w * ct * 2         # auto-pipelined residual tiles
+    out = 2 * th * w * ct * 2          # auto-pipelined output tiles
+    wts = (c * m + 9 * m * m + m * c) * 2 + (m + c) * 4
+    return ring + acc + y2 + xt + xres + out + wts
+
+
+def fused_bottleneck_ct_supported(n, h, w, c, m, rate, th=4, ct=128):
+    """Static gate for the channel-tiled rolling kernel."""
+    return (
+        rate >= 1
+        and th >= rate            # last stripe's new-row count (th - r) >= 0
+        and c % ct == 0
+        and ct % 128 == 0
+        and m % 128 == 0
+        and w % 8 == 0
+        and h % th == 0
+        and h // th >= 2
+        and h >= th + rate        # warmup computes th + r rows
+        and _ct_vmem_bytes(th, rate, w, c, m, ct) <= _VMEM_BUDGET
+    )
+
+
+def pick_ct_config(n, h, w, c, m, rate):
+    """Largest (th, ct) the VMEM gate admits, or None."""
+    for th in (8, 4):
+        for ct in (512, 256, 128):
+            if fused_bottleneck_ct_supported(n, h, w, c, m, rate, th, ct):
+                return th, ct
+    return None
+
+
+def _ct_kernel(th, r, ct, hh, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+               b3_ref, xres_ref, out_ref, ring, acc, y2, xt, sem):
+    n = pl.program_id(0)
+    h = pl.program_id(1)
+    c_idx = pl.program_id(2)
+    n_h = pl.num_programs(1)
+    n_ct = pl.num_programs(2)
+    w = ring.shape[1]
+    m = ring.shape[2]
+
+    def conv1_rows(row0, nrows, dst_row):
+        """conv1 for x rows [row0, row0+nrows) -> ring[dst_row:+nrows].
+
+        nrows is static (<= th). C-tile reduction with double-buffered
+        manual DMA; w1 is pre-tiled (n_ct, CT, M) so tile selection is a
+        cheap leading-dim index.
+        """
+
+        def start(i, slot):
+            pltpu.make_async_copy(
+                x_hbm.at[n, pl.ds(row0, nrows), :, pl.ds(i * ct, ct)],
+                xt.at[slot, pl.ds(0, nrows)],
+                sem.at[slot],
+            ).start()
+
+        def wait(slot):
+            pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(0, nrows), :, pl.ds(0, ct)],
+                xt.at[slot, pl.ds(0, nrows)],
+                sem.at[slot],
+            ).wait()
+
+        start(0, 0)
+        acc[pl.ds(0, nrows * w)] = jnp.broadcast_to(
+            b1_ref[...].astype(jnp.float32), (nrows * w, m)
+        )
+
+        def body(i, _):
+            @pl.when(i + 1 < n_ct)
+            def _():
+                start(i + 1, (i + 1) % 2)
+
+            wait(i % 2)
+            acc[pl.ds(0, nrows * w)] += jnp.dot(
+                xt[i % 2, pl.ds(0, nrows)].reshape(nrows * w, ct),
+                w1_ref[i],
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_ct, body, 0, unroll=False)
+        ring[pl.ds(dst_row, nrows)] = (
+            jnp.maximum(acc[pl.ds(0, nrows * w)], 0.0)
+            .reshape(nrows, w, m)
+            .astype(jnp.bfloat16)
+        )
+
+    @pl.when(c_idx == 0)
+    def _stripe_head():
+        @pl.when(h == 0)
+        def _warmup():
+            # ring rows [0, r) are logical rows [-r, 0): zero (SAME padding)
+            ring[pl.ds(0, r)] = jnp.zeros((r, w, m), jnp.bfloat16)
+            conv1_rows(0, th, r)
+            conv1_rows(th, r, r + th)
+
+        @pl.when(jnp.logical_and(h > 0, h < n_h - 1))
+        def _roll():
+            # shift the window down by th rows (read-then-write: overlap-safe)
+            keep = ring[pl.ds(th, 2 * r)]
+            ring[pl.ds(0, 2 * r)] = keep
+            conv1_rows(h * th + r, th, 2 * r)
+
+        @pl.when(h == n_h - 1)
+        def _tail():
+            keep = ring[pl.ds(th, 2 * r)]
+            ring[pl.ds(0, 2 * r)] = keep
+            if th > r:  # static: new rows that are still inside the image
+                conv1_rows(h * th + r, th - r, 2 * r)
+            # logical rows >= H: zero (SAME padding)
+            ring[pl.ds(th + r, r)] = jnp.zeros((r, w, m), jnp.bfloat16)
+
+        # conv2: dilated 3x3 as 9 tap-shifted dots over the ring
+        acc2 = jnp.zeros((th * w, m), jnp.float32)
+        for ti, dh in enumerate((-r, 0, r)):
+            rows_tap = ring[pl.ds(r + dh, th)]
+            for tj, dw in enumerate((-r, 0, r)):
+                tap = _shift_w(rows_tap, dw).reshape(th * w, m)
+                acc2 += jnp.dot(
+                    tap, w2_ref[ti * 3 + tj],
+                    preferred_element_type=jnp.float32,
+                )
+        y2[...] = jnp.maximum(acc2 + b2_ref[...], 0.0).astype(jnp.bfloat16)
+
+    # conv3 tile + folded bias + residual + final relu (every ct step)
+    y3 = jnp.dot(y2[...], w3_ref[c_idx], preferred_element_type=jnp.float32)
+    y3 = y3 + b3_ref[c_idx] + xres_ref[0].reshape(th * w, ct).astype(
+        jnp.float32
+    )
+    out_ref[0] = jnp.maximum(y3, 0.0).reshape(th, w, ct).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "th", "ct", "interpret"))
+def fused_bottleneck_ct(x, w1, b1, w2, b2, w3, b3, *, rate, th=4, ct=128,
+                        interpret=None):
+    """Channel-tiled rolling-window fused bottleneck (same math as
+    ``fused_bottleneck``; admits block4's C=2048 where the full-window
+    kernel exceeds VMEM). Args as ``fused_bottleneck``."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n, hh, w, c = x.shape
+    m = w1.shape[1]
+    assert fused_bottleneck_ct_supported(n, hh, w, c, m, rate, th, ct), (
+        (n, hh, w, c, m, rate, th, ct)
+    )
+    r = rate
+    n_ct = c // ct
+
+    weight_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops_unit = 2 * hh * w * (c * m + 9 * m * m + m * c)
+    return pl.pallas_call(
+        functools.partial(_ct_kernel, th, r, ct, hh),
+        grid=(n, hh // th, n_ct),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x: manual conv1 tile DMA
+            weight_spec,  # w1 (n_ct, CT, M)
+            weight_spec,  # b1 (1, M)
+            weight_spec,  # w2 (9, M, M)
+            weight_spec,  # b2 (1, M)
+            weight_spec,  # w3 (n_ct, M, CT)
+            weight_spec,  # b3 (n_ct, 1, CT)
+            pl.BlockSpec(  # x again: auto-pipelined residual tiles
+                (1, th, w, ct), lambda i, j, k: (i, j, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, ct), lambda i, j, k: (i, j, 0, k),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * r, w, m), jnp.bfloat16),  # y1 ring
+            pltpu.VMEM((th * w, m), jnp.float32),          # conv1 accumulator
+            pltpu.VMEM((th * w, m), jnp.bfloat16),         # y2 (per stripe)
+            pltpu.VMEM((2, th, w, ct), jnp.bfloat16),      # conv1 x tiles
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n * flops_unit,
+            bytes_accessed=3 * x.size * 2,  # x twice + out once
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.bfloat16),
+        w1.astype(jnp.bfloat16).reshape(n_ct, ct, m),
+        b1.astype(jnp.float32).reshape(1, m),
+        w2.astype(jnp.bfloat16).reshape(9, m, m),
+        b2.astype(jnp.float32).reshape(1, m),
+        w3.astype(jnp.bfloat16).reshape(m, n_ct, ct).swapaxes(0, 1),
+        b3.astype(jnp.float32).reshape(n_ct, 1, ct),
+        x.astype(jnp.bfloat16),
     )

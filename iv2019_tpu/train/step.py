@@ -136,6 +136,9 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
         and settings.Nb_per_pixel > 0
         and settings.Nb_per_bbox > 0
         and settings.Nb_per_image > 0
+        # bootstrapped CE needs a batch-global sort over the raw L1 losses,
+        # which the tile-wise Pallas loss never materializes
+        and settings.bootstrapping_percentage == -1
         and fused_loss_available(
             (1, 1),
             (settings.height_feature_extractor, settings.width_feature_extractor),
@@ -241,6 +244,7 @@ def make_train_step(settings: Settings, model=None, tx=None, fused_opt=None, mes
                 losses = define_losses(
                     preds, labels, tax,
                     weak_loss_coefficient=settings.weak_loss_coefficient,
+                    bootstrapping_percentage=settings.bootstrapping_percentage,
                 )
                 decisions = preds["decisions"]
             if fused:

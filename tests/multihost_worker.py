@@ -20,6 +20,12 @@ parser.add_argument("--spatial", type=int, default=1,
                     help="spatial_partitions: composes the multi-host 'data' "
                          "axis (across processes) with image-height sharding "
                          "(within each process's local chips)")
+parser.add_argument("--slices", type=int, default=1,
+                    help="num_slices: composes multi-host processes with the "
+                         "multi-slice 'replica' (DCN) outer mesh axis — with "
+                         "2 procs x 2 local devices, each slice is one whole "
+                         "process (contiguous device order), so 'replica' "
+                         "crosses processes and 'data' stays process-local")
 args = parser.parse_args()
 distributed = args.pid is not None
 
@@ -73,7 +79,9 @@ if distributed:
     mine = list(multihost.shard_records(range(10)))
     assert mine == list(range(args.pid or 0, 10, args.nproc)), mine
 
-mesh = create_mesh(spatial_partitions=args.spatial)
+mesh = create_mesh(num_slices=args.slices, spatial_partitions=args.spatial)
+if args.slices > 1:
+    assert mesh.shape["replica"] == args.slices, dict(mesh.shape)
 if args.spatial > 1:
     # 4 devices as (data=4/F, spatial=F); device order puts 'data' across
     # processes and 'spatial' within a process (create_mesh docstring), so

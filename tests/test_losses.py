@@ -209,3 +209,78 @@ def test_weak_loss_coefficient_knob():
         float(double["l1_segmentation"])
         + 0.2 * (float(double["l2_vehicle_segmentation"])
                  + float(double["l2_human_segmentation"])), rel=1e-6)
+
+
+class TestBootstrappedCE:
+    """--bootstrapping_percentage: bootstrapped CE keeps only the top-p%
+    hardest per-pixel losses (the reference registers the flag at
+    utils/utils.py:114-115 but never consumes it; semantics here follow its
+    documented intent, Wu et al. 2016)."""
+
+    def test_bootstrap_weights_exact_topk(self):
+        from iv2019_tpu.losses.hierarchical import bootstrap_weights
+
+        raw = jnp.asarray([[5.0, 1.0, 4.0, 2.0, 3.0, 9.0]])
+        w = jnp.asarray([[1.0, 1.0, 1.0, 1.0, 1.0, 0.0]])  # 9.0 is void
+        # 40% of 5 valid pixels -> k=2 -> keep losses {5.0, 4.0}
+        out = np.asarray(bootstrap_weights(raw, w, 40))
+        np.testing.assert_array_equal(out, [[1.0, 0.0, 1.0, 0.0, 0.0, 0.0]])
+
+    def test_bootstrap_keeps_at_least_one(self):
+        from iv2019_tpu.losses.hierarchical import bootstrap_weights
+
+        raw = jnp.asarray([1.0, 2.0, 3.0])
+        w = jnp.ones(3)
+        out = np.asarray(bootstrap_weights(raw, w, 1))  # 1% of 3 -> k=1
+        np.testing.assert_array_equal(out, [0.0, 0.0, 1.0])
+
+    def test_bootstrap_all_void_stays_zero(self):
+        from iv2019_tpu.losses.hierarchical import bootstrap_weights
+
+        raw = jnp.asarray([1.0, 2.0])
+        out = np.asarray(bootstrap_weights(raw, jnp.zeros(2), 50))
+        np.testing.assert_array_equal(out, [0.0, 0.0])
+
+    def test_define_losses_bootstrapped_l1_mean_of_hardest_half(self):
+        n_pp = 2
+        preds = _preds(n_pp + 2)
+        rng = np.random.RandomState(3)
+        labels = {
+            "prolabels_per_pixel": jnp.asarray(
+                rng.randint(0, 19, size=(n_pp, H, W)).astype(np.int32)
+            ),
+            "prolabels_per_bbox": _void_weak(1),
+            "prolabels_per_image": _void_weak(1),
+        }
+        base = define_losses(preds, labels, TAX)
+        boot = define_losses(preds, labels, TAX, bootstrapping_percentage=50)
+
+        # recompute the expected value: raw L1 CE of every valid pixel,
+        # keep the top half, average
+        from iv2019_tpu.losses.hierarchical import _sparse_softmax_ce
+        from iv2019_tpu.ops.segment_ops import gather_cids
+
+        l1_labels = gather_cids(
+            TAX.per_pixel_cids2l1_cids, labels["prolabels_per_pixel"]
+        )
+        raw = np.asarray(_sparse_softmax_ce(preds["l1_logits"][:n_pp], l1_labels))
+        valid = np.asarray(l1_labels) <= int(TAX.per_pixel_cids2l1_cids.max()) - 1
+        vals = np.sort(raw[valid])[::-1]
+        k = max(1, valid.sum() * 50 // 100)
+        expected = vals[:k].mean()
+        assert float(boot["l1_segmentation"]) == pytest.approx(expected, rel=1e-5)
+        # hard-mined mean loss must exceed the all-pixels mean
+        assert float(boot["l1_segmentation"]) > float(base["l1_segmentation"])
+        # L2 heads (the decision-gated mechanism) are untouched
+        assert float(boot["l2_vehicle_segmentation"]) == pytest.approx(
+            float(base["l2_vehicle_segmentation"]), rel=1e-6
+        )
+
+    def test_settings_validation(self):
+        from iv2019_tpu.config import Settings
+
+        Settings(bootstrapping_percentage=25).finalize().validate()  # ok
+        with pytest.raises(ValueError, match="bootstrapping_percentage"):
+            Settings(bootstrapping_percentage=0).finalize().validate()
+        with pytest.raises(ValueError, match="bootstrapping_percentage"):
+            Settings(bootstrapping_percentage=101).finalize().validate()

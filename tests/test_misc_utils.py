@@ -72,16 +72,17 @@ def test_metrics_printer_report_format(tmp_path, capsys):
     assert "Mean accuracy" in text
 
 
-class TestDeadFlagWarnings:
-    """Parsed-but-inert flags must warn instead of silently doing nothing
-    (VERDICT r3 weak #6: --bootstrapping_percentage is dead in the reference
-    too — registered at utils/utils.py:114, never consumed)."""
+class TestBootstrappingFlag:
+    """--bootstrapping_percentage is functional here (bootstrapped CE,
+    losses/hierarchical.bootstrap_weights) though the reference never
+    consumes it (registered at utils/utils.py:114); out-of-range values
+    must be rejected and the default must stay silent."""
 
-    def test_bootstrapping_percentage_warns(self):
+    def test_out_of_range_rejected(self):
         from iv2019_tpu.config import Settings
 
-        with pytest.warns(UserWarning, match="bootstrapping_percentage"):
-            Settings(bootstrapping_percentage=25).finalize().validate()
+        with pytest.raises(ValueError, match="bootstrapping_percentage"):
+            Settings(bootstrapping_percentage=-5).finalize().validate()
 
     def test_default_does_not_warn(self):
         import warnings as _w

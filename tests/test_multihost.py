@@ -99,6 +99,31 @@ def test_two_process_composes_with_spatial_partitioning():
     )
 
 
+def test_two_process_composes_with_multislice():
+    """Multi-host processes x multi-slice 'replica' (DCN) axis: with 2
+    processes of 2 local devices and num_slices=2 the global mesh is
+    (replica=2, data=2) with one whole process per slice (contiguous
+    device order, parallel/mesh.create_mesh docstring) — the gradient
+    all-reduce crosses processes on the replica axis while 'data' stays
+    process-local. Losses and params must reproduce the single-process
+    2-slice run on the same global batch."""
+    port = _free_port()
+    procs = [
+        _run_worker(["--pid", str(i), "--nproc", "2", "--port", str(port),
+                     "--slices", "2"])
+        for i in range(2)
+    ]
+    ref_proc = _run_worker(["--slices", "2"])
+    res = [_result(p) for p in procs]
+    ref = _result(ref_proc)
+
+    assert res[0]["losses"] == pytest.approx(res[1]["losses"], rel=1e-6)
+    assert res[0]["losses"] == pytest.approx(ref["losses"], rel=2e-4)
+    assert res[0]["param_sq_norm"] == pytest.approx(
+        ref["param_sq_norm"], rel=2e-4
+    )
+
+
 def test_local_share_and_shard_records_single_process():
     assert multihost.local_share(8) == 8  # process_count() == 1 here
     assert list(multihost.shard_records(range(5))) == [0, 1, 2, 3, 4]

@@ -76,3 +76,103 @@ def test_u8_to_f32_and_lut():
     np.testing.assert_array_equal(
         native.map_lut_i32(lab, table), table[lab.astype(np.int64)]
     )
+
+
+class TestNativeDecode:
+    """libjpeg/libpng decode vs the PIL oracle (bit-exact for 8-bit
+    images; palette PNGs must stay index maps — cityscapes labelIds depend
+    on it). Skips when the decode lib could not build (no libjpeg/libpng)."""
+
+    @staticmethod
+    def _bytes(img, fmt, **kw):
+        import io
+
+        b = io.BytesIO()
+        img.save(b, format=fmt, **kw)
+        return b.getvalue()
+
+    @pytest.fixture(autouse=True)
+    def _need_decode(self):
+        if not native.decode_available():
+            pytest.skip("no libjpeg/libpng for native decode")
+
+    @pytest.mark.parametrize("case", [
+        "png_rgb", "png_gray", "png_palette", "png_rgba",
+        "jpeg_rgb", "jpeg_gray",
+    ])
+    def test_parity_raw_and_rgb(self, case):
+        import io
+
+        from PIL import Image
+
+        rng = np.random.RandomState(hash(case) % (2**31))
+        if case == "png_rgb":
+            buf = self._bytes(
+                Image.fromarray(rng.randint(0, 256, (37, 53, 3), np.uint8)),
+                "PNG")
+        elif case == "png_gray":
+            buf = self._bytes(
+                Image.fromarray(rng.randint(0, 256, (20, 31), np.uint8), "L"),
+                "PNG")
+        elif case == "png_palette":
+            img = Image.fromarray(rng.randint(0, 34, (24, 40), np.uint8), "P")
+            img.putpalette([i % 256 for i in range(768)])
+            buf = self._bytes(img, "PNG")
+        elif case == "png_rgba":
+            buf = self._bytes(
+                Image.fromarray(
+                    rng.randint(0, 256, (16, 16, 4), np.uint8), "RGBA"),
+                "PNG")
+        elif case == "jpeg_rgb":
+            buf = self._bytes(
+                Image.fromarray(rng.randint(0, 256, (48, 64, 3), np.uint8)),
+                "JPEG", quality=90)
+        else:
+            buf = self._bytes(
+                Image.fromarray(rng.randint(0, 256, (32, 32), np.uint8), "L"),
+                "JPEG", quality=90)
+
+        ref = np.asarray(Image.open(io.BytesIO(buf)))
+        got = native.decode_image(buf)
+        assert got is not None and got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+        ref_rgb = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        got_rgb = native.decode_image(buf, force_rgb=True)
+        assert got_rgb is not None and got_rgb.shape == ref_rgb.shape
+        np.testing.assert_array_equal(got_rgb, ref_rgb)
+
+    def test_palette_stays_indices(self):
+        """A labelIds-style palette PNG must decode to the raw class ids,
+        not palette colors (label-correctness contract)."""
+        from PIL import Image
+
+        ids = np.arange(34, dtype=np.uint8).reshape(2, 17)
+        img = Image.fromarray(ids, "P")
+        img.putpalette([255 - i % 256 for i in range(768)])
+        got = native.decode_image(self._bytes(img, "PNG"))
+        np.testing.assert_array_equal(got, ids)
+
+    def test_unsupported_returns_none(self):
+        import io
+
+        from PIL import Image
+
+        assert native.decode_image(b"not an image") is None
+        # 16-bit PNG -> PIL fallback (parity would need uint16 output)
+        img16 = Image.fromarray(
+            np.arange(12, dtype=np.uint16).reshape(3, 4) * 1000, "I;16")
+        b = io.BytesIO()
+        img16.save(b, format="PNG")
+        assert native.decode_image(b.getvalue()) is None
+
+    def test_truncated_does_not_crash(self):
+        from PIL import Image
+
+        buf = self._bytes(
+            Image.fromarray(np.zeros((64, 64, 3), np.uint8)), "PNG")
+        assert native.decode_image(buf[: len(buf) // 2]) is None
+        jbuf = self._bytes(
+            Image.fromarray(np.zeros((64, 64, 3), np.uint8)), "JPEG")
+        # truncated JPEG: libjpeg warns + fills; must not crash either way
+        native.decode_image(jbuf[: len(jbuf) // 2])

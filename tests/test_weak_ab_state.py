@@ -65,9 +65,10 @@ def test_weak_arms_key_on_coefficient_pp_does_not(tmp_path):
 
 def test_workdir_completion_is_recorded_to_state(tmp_path):
     # an arm finished in the workdir (eval artifact present) must be
-    # harvested into the state file when reused
+    # harvested into the state file when reused; arm dirs embed the cfg
+    # hash so a different-config rerun can never harvest a stale arm
     import pickle
-    log_dir = tmp_path / "pp_s0" / "eval_00"
+    log_dir = tmp_path / f"pp_s0_{weak_ab._cfg_tag(CFG)}" / "eval_00"
     log_dir.mkdir(parents=True)
     with open(log_dir / "all_metrics.p", "wb") as f:
         pickle.dump([{"mean_iou": 59.5, "ious": [1.0, 2.0]}], f)
@@ -81,3 +82,36 @@ def test_workdir_completion_is_recorded_to_state(tmp_path):
 
 def test_missing_state_file_is_empty(tmp_path):
     assert weak_ab._load_state(str(tmp_path / "nope.jsonl")) == {}
+
+
+def test_corrupt_state_lines_are_skipped(tmp_path):
+    # a line truncated by a mid-append crash must not block resume
+    sp = str(tmp_path / "arms.jsonl")
+    _record(sp, "pp", 0, None, CFG, {"mean_iou": 61.0})
+    with open(sp, "a") as f:
+        f.write('{"arm": "pp", "seed": 1, "conf\n')   # truncated
+        f.write("\n")                                  # blank
+        f.write('{"no": "keys"}\n')                    # wrong schema
+    state = weak_ab._load_state(sp)
+    assert weak_ab._state_key("pp", 0, None, CFG) in state
+    assert len(state) == 1
+
+
+def test_state_is_strict_json(tmp_path):
+    # NaN metrics must be written as null (jq/JSON.parse-safe)
+    import math
+    sp = str(tmp_path / "arms.jsonl")
+    # drive _record through run_arm's workdir-harvest path
+    import pickle
+    log_dir = tmp_path / f"pp_s0_{weak_ab._cfg_tag(CFG)}" / "eval_00"
+    log_dir.mkdir(parents=True)
+    with open(log_dir / "all_metrics.p", "wb") as f:
+        pickle.dump([{"mean_iou": 59.5,
+                      "accuracies": [1.0, float("nan")]}], f)
+    weak_ab.run_arm(str(tmp_path), {}, "pp", 0, CFG["ne"],
+                    coeff=0.1, state={}, state_path=sp, cfg=CFG)
+    raw = open(sp).read()
+    assert "NaN" not in raw
+    rec = json.loads(raw)  # strict parse must succeed
+    assert rec["metrics"]["accuracies"][1] is None
+    assert not math.isnan(rec["metrics"]["mean_iou"])

@@ -154,12 +154,16 @@ def main():
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from trace_summary import load_hlo_info, load_trace
 
-    argv = [a for a in sys.argv[1:] if a != "--write"]
-    write_path = None
-    if "--write" in sys.argv:
-        i = sys.argv.index("--write")
-        write_path = sys.argv[i + 1]
-        argv = [a for a in sys.argv[1:] if a not in ("--write", write_path)]
+    write_path = itemize_path = None
+    argv = sys.argv[1:]
+    if "--write" in argv:
+        i = argv.index("--write")
+        write_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if "--itemize" in argv:
+        i = argv.index("--itemize")
+        itemize_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     trace_dir = argv[0]
     hlo_path = argv[1] if len(argv) > 1 else f"{trace_dir}/hlo.txt"
     steps = int(argv[2]) if len(argv) > 2 else 5
@@ -316,6 +320,51 @@ def main():
         with open(write_path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {write_path}")
+
+    if itemize_path:
+        # VERDICT r4 next-#2: itemize the measured-vs-floor residual at
+        # op/gap granularity. Two buckets: (a) per-op in-graph excess over
+        # the standalone replay, (b) compute-stream idle inside the module
+        # span (from the trace timeline).
+        from trace_summary import load_timeline
+
+        timeline = load_timeline(trace_dir)
+        items = []
+        for gap, s in rows:
+            m, fl, cnt = sig_meas[s], sig_floor[s] * sig_count[s], sig_count[s]
+            items.append({
+                "op": sig_rep[s]["op_name"].replace("jit(train_step)/", "")[-110:],
+                "window": s[5],
+                "count": cnt,
+                "measured_ms": round(m * 1e3, 2),
+                "floor_ms": round(fl * 1e3, 2),
+                "excess_ms": round((m - fl) * 1e3, 2),
+            })
+        other_excess = meas_other - ach_other
+        itemization = {
+            "residual_ms": round((total_meas - total_floor) * 1e3, 2),
+            "conv_excess_ms": round((conv_meas - conv_floor) * 1e3, 2),
+            "other_excess_ms": round(other_excess * 1e3, 2),
+            "timeline": timeline,
+            "per_op": items,
+        }
+        with open(itemize_path, "w") as f:
+            json.dump(itemization, f, indent=1)
+        print(f"wrote {itemize_path}")
+        print("\n== residual itemization (ms/step) ==")
+        print(f"{'excess':>8} {'meas':>8} {'floor':>8} {'n':>3}  op")
+        for it in items[:15]:
+            print(f"{it['excess_ms']:8.2f} {it['measured_ms']:8.2f} "
+                  f"{it['floor_ms']:8.2f} {it['count']:3d}  {it['op'][-80:]}")
+        print(f"{other_excess*1e3:8.2f} {'':>8} {'':>8}      "
+              f"non-conv fusions over bw floor")
+        if timeline:
+            print(f"{timeline['idle_ms']:8.2f}                        "
+                  f"compute-stream idle (span {timeline['span_ms']} - "
+                  f"busy {timeline['busy_ms']})")
+            for g in timeline["gaps"][:5]:
+                print(f"          gap {g['ms']:7.3f} ms after "
+                      f"{g['after'][-60:]}")
 
 
 if __name__ == "__main__":

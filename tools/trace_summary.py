@@ -34,6 +34,88 @@ def load_trace(trace_dir: str, steps: int):
     return agg
 
 
+def load_timeline(trace_dir: str):
+    """Per-step device busy/idle accounting from the trace timeline.
+
+    Returns {steps, span_ms, busy_ms, idle_ms, gaps}: span is the mean
+    module-execution wall per step (from the "XLA Modules" lane), busy the
+    union of op-lane intervals inside it, idle their difference, and gaps
+    the largest per-step idle holes with the op names flanking them.
+    VERDICT r4 next-#2: separates "ops run slower in-graph than standalone"
+    (inside op durations) from "the compute stream sits idle" (between ops).
+    """
+    f = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")[0]
+    ev = json.load(gzip.open(f))["traceEvents"]
+    pids = {}
+    tids = {}
+    for e in ev:
+        if e.get("ph") != "M" or "args" not in e:
+            continue
+        if e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+
+    modules, ops = [], []
+    for e in ev:
+        if e.get("ph") != "X":
+            continue
+        if not pids.get(e["pid"], "").startswith("/device:TPU"):
+            continue
+        lane = tids.get((e["pid"], e.get("tid")), "")
+        item = (e["ts"], e["ts"] + e.get("dur", 0), e.get("name", ""))
+        if "Module" in lane:
+            modules.append(item)
+        elif "Op" in lane or "Step" not in lane:
+            ops.append(item)
+    if not modules:  # fall back: treat the longest-name group as modules
+        by_name = collections.defaultdict(list)
+        for it in ops:
+            by_name[it[2]].append(it)
+        if by_name:
+            name = max(by_name, key=lambda n: sum(b - a for a, b, _ in by_name[n]))
+            modules = by_name.pop(name)
+            ops = [it for its in by_name.values() for it in its]
+    modules.sort()
+    ops.sort()
+
+    steps = []
+    for m0, m1, _ in modules:
+        inside = [(max(a, m0), min(b, m1), n) for a, b, n in ops
+                  if b > m0 and a < m1]
+        inside.sort()
+        busy = 0.0
+        gaps = []
+        cur_end = m0
+        cur_name = "(module start)"
+        for a, b, n in inside:
+            if a > cur_end:
+                gaps.append((a - cur_end, cur_name, n))
+            if b > cur_end:
+                busy += b - max(a, cur_end)
+                cur_end = b
+                cur_name = n
+        if m1 > cur_end:
+            gaps.append((m1 - cur_end, cur_name, "(module end)"))
+        steps.append({"span": m1 - m0, "busy": busy,
+                      "gaps": sorted(gaps, reverse=True)[:8]})
+    if not steps:
+        return None
+    span = sum(s["span"] for s in steps) / len(steps) / 1e3
+    busy = sum(s["busy"] for s in steps) / len(steps) / 1e3
+    mid = steps[len(steps) // 2]  # a representative (steady-state) step
+    return {
+        "steps": len(steps),
+        "span_ms": round(span, 2),
+        "busy_ms": round(busy, 2),
+        "idle_ms": round(span - busy, 2),
+        "gaps": [
+            {"ms": round(g / 1e3, 3), "after": a[:90], "before": b[:90]}
+            for g, a, b in mid["gaps"]
+        ],
+    }
+
+
 def load_hlo_info(hlo_path: str):
     info = {}
     for ln in open(hlo_path):
