@@ -56,12 +56,15 @@ def _run(module, args, timeout=3600):
 
 
 def _arm_metrics(log_dir):
-    """Latest eval metrics of a finished arm, or None."""
+    """First (raw-weights) eval metrics of a finished arm, or None.
+
+    eval_00 is always the raw eval in this tool's flow; later eval_NN dirs
+    may be --restore_emas re-evaluations and must not be harvested as raw."""
     try:
         eval_dirs = sorted(
             d for d in os.listdir(log_dir) if d.startswith("eval_")
         )
-        with open(os.path.join(log_dir, eval_dirs[-1], "all_metrics.p"),
+        with open(os.path.join(log_dir, eval_dirs[0], "all_metrics.p"),
                   "rb") as f:
             return pickle.load(f)[-1]
     except (OSError, IndexError):
@@ -120,21 +123,26 @@ def _load_state(path):
 
 
 def run_arm(workdir, paths, arm, seed, ne, coeff=0.1, state=None,
-            state_path=None, cfg=None):
+            state_path=None, cfg=None, ema=False):
     """Train + evaluate one arm. Resumable two ways: a finished arm in the
     workdir (its eval artifact exists) is reused, and an arm recorded in
     the --state file is reused even after the workdir is gone. Non-default
     coefficients get their own weak-arm dirs (weak_c{coeff}_s{seed}), so a
     coefficient sweep in the SAME workdir reuses the coeff-independent
-    pp_s* arms and retrains only weak arms."""
-    key = _state_key(arm, seed, coeff, cfg or {})
+    pp_s* arms and retrains only weak arms.
+
+    ``ema=True`` evaluates the SAME checkpoint with --restore_emas
+    (recorded under arm '<arm>_ema'); reuses the trained arm in the
+    workdir, retraining only if it is gone."""
+    state_arm = f"{arm}_ema" if ema else arm
+    key = _state_key(state_arm, seed, coeff, cfg or {})
     if state is not None and key in state:
-        print(f"[{arm} seed {seed}] reusing persisted metrics", flush=True)
+        print(f"[{state_arm} seed {seed}] reusing persisted metrics", flush=True)
         return state[key]
 
     def _record(metrics):
         if state_path:
-            rec = {"arm": arm, "seed": seed,
+            rec = {"arm": state_arm, "seed": seed,
                    "coeff": coeff if arm == "weak" else None,
                    "config": cfg or {},
                    "metrics": {k: _sanitize(v.tolist()
@@ -146,33 +154,37 @@ def run_arm(workdir, paths, arm, seed, ne, coeff=0.1, state=None,
 
     name = arm if arm == "pp" or coeff == 0.1 else f"weak_c{coeff}"
     log_dir = os.path.join(workdir, f"{name}_s{seed}_{_cfg_tag(cfg)}")
-    done = _arm_metrics(log_dir)
-    if done is not None:
-        print(f"[{arm} seed {seed}] reusing {log_dir}", flush=True)
-        return _record(done)
-    if os.path.isdir(log_dir):  # train started but never reached eval
-        print(f"[{arm} seed {seed}] clearing partial {log_dir}", flush=True)
-        shutil.rmtree(log_dir)
-    nb_weak = ("8", "4") if arm == "weak" else ("0", "0")
-    _run("iv2019_tpu.train_cli", [
-        log_dir, "cityscapes",
-        "--tfrecords_path_per_pixel", paths["tfrecords_train"],
-        "--openimages_image_dir", paths["openimages_image_dir"],
-        "--openimages_bboxes_path", paths["openimages_bboxes_path"],
-        "--openimages_image_labels_path", paths["openimages_image_labels_path"],
-        *SIZE,
-        "--Ntrain", str(paths["n_pp"]), "--Ne", str(ne),
-        "--Nb_per_pixel", "4",
-        "--Nb_per_bbox", nb_weak[0], "--Nb_per_image", nb_weak[1],
-        "--learning_rate_boundaries", str(ne * 2 // 3), str(ne * 5 // 6),
-        "--learning_rate_values", "0.01", "0.005", "0.0025",
-        "--weak_loss_coefficient", str(coeff),
-        "--random_seed", str(seed), "--input_seed", str(seed),
-    ])
+    has_ckpt = os.path.isdir(os.path.join(log_dir, "checkpoints"))
+    if not ema:
+        done = _arm_metrics(log_dir)
+        if done is not None:
+            print(f"[{arm} seed {seed}] reusing {log_dir}", flush=True)
+            return _record(done)
+    if not has_ckpt:
+        if os.path.isdir(log_dir):  # train started but never completed
+            print(f"[{arm} seed {seed}] clearing partial {log_dir}", flush=True)
+            shutil.rmtree(log_dir)
+        nb_weak = ("8", "4") if arm == "weak" else ("0", "0")
+        _run("iv2019_tpu.train_cli", [
+            log_dir, "cityscapes",
+            "--tfrecords_path_per_pixel", paths["tfrecords_train"],
+            "--openimages_image_dir", paths["openimages_image_dir"],
+            "--openimages_bboxes_path", paths["openimages_bboxes_path"],
+            "--openimages_image_labels_path", paths["openimages_image_labels_path"],
+            *SIZE,
+            "--Ntrain", str(paths["n_pp"]), "--Ne", str(ne),
+            "--Nb_per_pixel", "4",
+            "--Nb_per_bbox", nb_weak[0], "--Nb_per_image", nb_weak[1],
+            "--learning_rate_boundaries", str(ne * 2 // 3), str(ne * 5 // 6),
+            "--learning_rate_values", "0.01", "0.005", "0.0025",
+            "--weak_loss_coefficient", str(coeff),
+            "--random_seed", str(seed), "--input_seed", str(seed),
+        ])
     _run("iv2019_tpu.evaluate_cli", [
         log_dir, str(paths["n_val"]), PROBLEM,
         "--tfrecords_path", paths["tfrecords_val"],
         *SIZE, "--Nb", "4",
+        *(["--restore_emas"] if ema else []),
     ])
     eval_dir = sorted(d for d in os.listdir(log_dir) if d.startswith("eval_"))[-1]
     with open(os.path.join(log_dir, eval_dir, "all_metrics.p"), "rb") as f:
@@ -193,6 +205,10 @@ def main():
     p.add_argument("--state", default=None,
                    help="JSONL of completed-arm metrics; arms recorded "
                         "there are never retrained (survives workdir loss)")
+    p.add_argument("--ema_evals", action="store_true",
+                   help="additionally evaluate every arm with "
+                        "--restore_emas (recorded as arm '<arm>_ema'; "
+                        "reuses workdir checkpoints, retrains only if gone)")
     args = p.parse_args()
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -221,6 +237,17 @@ def main():
             results[arm].append(m)
             print(f"[{arm} seed {seed}] mean IoU {m['mean_iou']:.2f}",
                   flush=True)
+
+    ema_results = {"pp": [], "weak": []}
+    if args.ema_evals:
+        for seed in range(args.seeds):
+            for arm in ("pp", "weak"):
+                m = run_arm(args.workdir, paths, arm, seed, args.ne,
+                            coeff=args.coeff, state=state,
+                            state_path=args.state, cfg=cfg, ema=True)
+                ema_results[arm].append(m)
+                print(f"[{arm}_ema seed {seed}] mean IoU "
+                      f"{m['mean_iou']:.2f}", flush=True)
 
     def stack(arm, key):
         return np.stack([np.asarray(m[key], float) for m in results[arm]])
@@ -273,6 +300,17 @@ def main():
         "paired": paired_line,
         "table": table,
     }
+    if args.ema_evals and ema_results["pp"] and ema_results["weak"]:
+        ema_miou = {a: np.array([m["mean_iou"] for m in ema_results[a]])
+                    for a in ema_results}
+        ema_paired = ema_miou["weak"] - ema_miou["pp"]
+        out["mean_iou_pp_ema"] = [round(float(x), 2) for x in ema_miou["pp"]]
+        out["mean_iou_weak_ema"] = [round(float(x), 2)
+                                    for x in ema_miou["weak"]]
+        out["paired_deltas_ema"] = [round(float(d), 2) for d in ema_paired]
+        print("EMA-restored paired deltas: "
+              + ", ".join(f"{d:+.2f}" for d in ema_paired)
+              + f" -> {ema_paired.mean():+.2f} ± {ema_paired.std():.2f}")
     with open(os.path.join(args.workdir, "weak_ab.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "table"}))
