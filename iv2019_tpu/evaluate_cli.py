@@ -27,9 +27,13 @@ from iv2019_tpu.utils.metrics import print_metrics_from_confusion_matrix
 
 
 def main(argv):
-    from iv2019_tpu.utils.platform import honor_platform_env
+    from iv2019_tpu.utils.platform import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
 
     honor_platform_env()
+    enable_compilation_cache()
     args = build_argparser(EVAL).parse_args(argv)
     settings = settings_from_args(args, EVAL)
     settings = resolve_dataset_name(settings, args.per_pixel_dataset_name)

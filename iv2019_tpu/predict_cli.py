@@ -113,9 +113,13 @@ def _plot_frame(item, out_dir, palette, settings, n, plt) -> None:
 
 
 def main(argv):
-    from iv2019_tpu.utils.platform import honor_platform_env
+    from iv2019_tpu.utils.platform import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
 
     honor_platform_env()
+    enable_compilation_cache()
     args = build_argparser(PREDICT).parse_args(argv)
     settings = settings_from_args(args, PREDICT, predict_keys=PREDICT_KEYS)
     settings = resolve_dataset_name(settings, args.per_pixel_dataset_name)

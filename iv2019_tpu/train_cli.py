@@ -63,9 +63,13 @@ def _apply_sub_batch_overrides(settings, args):
 
 
 def main(argv):
-    from iv2019_tpu.utils.platform import honor_platform_env
+    from iv2019_tpu.utils.platform import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
 
     honor_platform_env()
+    enable_compilation_cache()
     args = build_argparser(TRAIN).parse_args(argv)
     settings = settings_from_args(args, TRAIN)
     settings = _apply_sub_batch_overrides(_add_extra_args(settings), args)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["honor_platform_env"]
+__all__ = ["honor_platform_env", "enable_compilation_cache"]
 
 
 def honor_platform_env() -> None:
@@ -36,3 +36,28 @@ def honor_platform_env() -> None:
         # backend already initialized or unknown platform string: keep the
         # default behavior rather than failing the CLI
         pass
+
+
+def enable_compilation_cache() -> None:
+    """Turn on JAX's persistent compilation cache for CLI processes.
+
+    Every CLI process compiles its programs fresh; through the tunneled
+    chip a flagship compile costs minutes, and sweep tooling
+    (tools/weak_ab.py, tools/quality_ab.py) launches dozens of CLI
+    processes at identical shapes. The persistent cache keys serialized
+    executables by HLO + compile options + backend, so repeat processes
+    load in seconds instead. Opt out with JAX_COMPILATION_CACHE_DIR=""
+    (empty); any non-empty value overrides the default directory.
+    """
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that takes meaningful compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags: run uncached
